@@ -1,0 +1,427 @@
+"""Canonical metadata-element model + serialization.
+
+Re-implements (from scratch) the observable serialization semantics of the
+reference's ``mwcp.metadata`` element model so that emitted triples can be
+compared against reference report JSON:
+
+* every element has a snake_case ``type`` discriminator derived from its
+  class name (reference: mwcp/metadata.py:124-126,221-225),
+* tags are deduped + kept sorted (reference: mwcp/metadata.py:423-435),
+* JSON serialization keeps ``None`` fields as ``null``, encodes bytes as
+  base64 and nested elements as dicts carrying their own ``type`` field
+  (reference: mwcp/metadata.py:373-397),
+* equality is structural over all fields including tags (attrs-generated
+  ``__eq__`` in the reference) — here: equality of the canonical payload.
+
+The canonical triple object string ``obj`` is the compact JSON of the
+element's payload with **sorted keys** and without the top-level ``type``
+(the triple's ``pred`` carries it).  Nested elements keep their ``type``
+inside the payload, matching the reference's nested serialization (see the
+``network`` entry of mwcp/parsers/tests/foo/f144899b86766688991c5d0d10902f4a.json).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+from typing import Any, Dict, List, Optional
+
+__all__ = [
+    "Element",
+    "URL",
+    "Socket",
+    "Network",
+    "EmailAddress",
+    "Other",
+    "FileElement",
+    "PathElement",
+    "Mutex",
+    "DecodedString",
+    "canonical_obj",
+    "ValidationError",
+    "PRED_VOCABULARY",
+]
+
+# The full pred vocabulary of the reference schema (Element._type() names,
+# mwcp/metadata.py — see SURVEY.md §1.3).  Kept complete even though only a
+# subset is emitted by the currently implemented extractors.
+PRED_VOCABULARY = [
+    "path", "alphabet", "command", "credential", "crypto_address",
+    "scheduled_task", "socket", "url", "network", "email_address", "event",
+    "uuid", "uuid_legacy", "injection_process", "interval", "interval_legacy",
+    "encryption_key", "decoded_string", "mission_id", "mutex", "other",
+    "pipe", "registry", "rsa_private_key", "rsa_public_key", "service",
+    "ssl_cert_sha1", "user_agent", "version", "file",
+]
+
+
+class ValidationError(ValueError):
+    """Raised when an element fails field validation.
+
+    Mirrors the reference behavior where an invalid element is logged and
+    dropped rather than aborting the run (mwcp/report.py:772-791).
+    """
+
+
+def _b64(value: bytes) -> str:
+    return base64.b64encode(value).decode("ascii")
+
+
+def _jsonable(value: Any) -> Any:
+    """Convert payload values to JSON-encodable form (bytes -> base64)."""
+    if isinstance(value, bytes):
+        return _b64(value)
+    if isinstance(value, list):
+        return [_jsonable(v) for v in value]
+    if isinstance(value, Element):
+        return value.payload(nested=True)
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    return value
+
+
+_CAMEL_1 = re.compile(r"(.)([A-Z][a-z]+)")
+_CAMEL_2 = re.compile(r"([a-z0-9])([A-Z])")
+
+
+def camel_to_snake(name: str) -> str:
+    """Same normalization as the reference's ``_camel_to_snake``."""
+    return _CAMEL_2.sub(r"\1_\2", _CAMEL_1.sub(r"\1_\2", name)).lower()
+
+
+class Element:
+    """Base metadata element.
+
+    Subclasses declare ``FIELDS`` (ordered field names) and set instance
+    attributes of the same names.  ``TYPE`` overrides the derived type name
+    (the reference overrides e.g. Path2 -> "path", Socket2 -> "socket").
+    """
+
+    FIELDS: tuple = ()
+    TYPE: Optional[str] = None
+
+    def __init__(self) -> None:
+        self.tags: List[str] = []
+
+    @classmethod
+    def type_name(cls) -> str:
+        return cls.TYPE or camel_to_snake(cls.__name__)
+
+    def add_tag(self, *tags: str) -> "Element":
+        for tag in tags:
+            if tag not in self.tags:
+                self.tags.append(tag)
+        self.tags = sorted(self.tags)
+        return self
+
+    def validate(self) -> None:
+        """Field validation hook; raises ValidationError when invalid."""
+
+    # -- serialization -----------------------------------------------------
+    def payload(self, nested: bool = False) -> Dict[str, Any]:
+        """Dict form of the element.
+
+        ``nested=True`` adds the ``type`` discriminator, matching how the
+        reference serializes sub-elements inside a parent element.
+        """
+        out: Dict[str, Any] = {}
+        if nested:
+            out["type"] = self.type_name()
+        out["tags"] = sorted(self.tags)
+        for field in self.FIELDS:
+            out[field] = _jsonable(getattr(self, field))
+        return out
+
+    def canonical(self) -> str:
+        """Canonical compact JSON of the payload (sorted keys)."""
+        return json.dumps(self.payload(), sort_keys=True, separators=(",", ":"))
+
+    # -- structure ---------------------------------------------------------
+    def sub_elements(self) -> List["Element"]:
+        """Nested elements contained in this element (excluding self).
+
+        Mirrors ``Element.elements()`` flattening (mwcp/metadata.py:402-415)
+        used by ``Report.iter`` when building per-source report models.
+        """
+        subs: List[Element] = []
+        for field in self.FIELDS:
+            value = getattr(self, field)
+            if isinstance(value, Element):
+                subs.append(value)
+                subs.extend(value.sub_elements())
+            elif isinstance(value, list):
+                for item in value:
+                    if isinstance(item, Element):
+                        subs.append(item)
+                        subs.extend(item.sub_elements())
+        return subs
+
+    def post_processing(self, report) -> None:
+        """Hook run when the element is added to a report context."""
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Element)
+            and self.type_name() == other.type_name()
+            and self.payload(nested=True) == other.payload(nested=True)
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<{self.type_name()} {self.canonical()}>"
+
+
+class Socket(Element):
+    """Network socket (reference Socket2, mwcp/metadata.py:952-1080)."""
+
+    FIELDS = ("address", "port", "network_protocol", "listen")
+    TYPE = "socket"
+    _VALID_PROTOCOLS = ("icmp", "tcp", "udp")
+
+    def __init__(self, address=None, port=None, network_protocol=None,
+                 listen=None, c2: bool = False):
+        super().__init__()
+        self.address = address
+        self.port = int(port) if port is not None else None
+        self.network_protocol = (
+            str(network_protocol).lower() if network_protocol is not None else None
+        )
+        self.listen = listen
+        # internal flag for legacy Port()/ListenPort() constructors
+        self._from_port = False
+        if c2:
+            self.add_tag("c2")
+        self.validate()
+
+    def validate(self) -> None:
+        if self.port is not None and not 0 <= self.port <= 65535:
+            raise ValidationError(f"port must be between 0 and 65535. Got {self.port}")
+        if (self.network_protocol is not None
+                and self.network_protocol not in self._VALID_PROTOCOLS):
+            raise ValidationError(
+                f"protocol {self.network_protocol} is not one of {sorted(self._VALID_PROTOCOLS)}"
+            )
+
+
+# URL splitting regex — behavior-compatible with the reference's URL2._URL_RE
+# (mwcp/metadata.py:1151-1155): optional app protocol, bracketed-ipv6-aware
+# address, path up to '?', query = the rest.
+_URL_SPLIT_RE = re.compile(
+    r"((?P<app_protocol>[a-z.\-+]{1,40})://)?(?P<address>\[?[^/]+\]?)"
+    r"(?P<path>/[^?]+)?(?P<query>.*)",
+    flags=re.IGNORECASE,
+)
+
+
+class URL(Element):
+    """RFC-3986-ish URL (reference URL2, mwcp/metadata.py:1134-1280)."""
+
+    FIELDS = ("url", "path", "query", "protocol")
+    TYPE = "url"
+
+    def __init__(self, url=None, path=None, query=None, protocol=None,
+                 socket: Optional[Socket] = None):
+        super().__init__()
+        self.url = url
+        self.path = path
+        self.query = query
+        self.protocol = protocol
+        self._socket = socket
+        self._credential = None
+        self._processed = False
+        if self.url:
+            self._split_url()
+
+    def _split_url(self) -> None:
+        match = _URL_SPLIT_RE.match(self.url)
+        if not match:
+            raise ValidationError(f"Error parsing as url: {self.url}")
+        app_protocol = match.group("app_protocol") or None
+        path = match.group("path") or None
+        query = match.group("query") or None
+        port = None
+        address = match.group("address")
+        if address:
+            address = address.rstrip(": ")
+            if address.startswith("["):
+                # bracketed ipv6, e.g. [fe80::1]:80
+                address, found, port = address[1:].partition("]:")
+            else:
+                address, found, port = address.partition(":")
+            if found and not port:
+                raise ValidationError(
+                    f"Invalid URL {self.url}, found ':' at end without a port."
+                )
+            if not port:
+                port = None
+        if address or port:
+            self._socket = Socket(address=address or None, port=port)
+        if not self.path:
+            self.path = path
+        if not self.query:
+            self.query = query
+        if not self.protocol:
+            self.protocol = app_protocol
+
+    def post_processing(self, report) -> None:
+        # URL with socket/credential spawns a Network element
+        # (reference mwcp/metadata.py:1261-1274).
+        if not self._processed:
+            self._processed = True
+            if self._socket or self._credential:
+                network = Network(url=self, socket=self._socket,
+                                  credential=self._credential)
+                if "c2" in self.tags:
+                    network.add_tag("c2")
+                    if self._socket:
+                        self._socket.add_tag("c2")
+                report.add(network)
+
+
+class Network(Element):
+    """URL + Socket + Credential bundle (mwcp/metadata.py:1313-1390)."""
+
+    FIELDS = ("url", "socket", "credential")
+
+    def __init__(self, url: Optional[URL] = None, socket: Optional[Socket] = None,
+                 credential=None):
+        super().__init__()
+        self.url = url
+        self.socket = socket
+        self.credential = credential
+        if self.url is not None and not self.url._processed:
+            if not self.socket:
+                self.socket = self.url._socket
+            if not self.credential:
+                self.credential = self.url._credential
+            self.url._processed = True
+        if sum(map(bool, [self.url, self.socket, self.credential])) < 2:
+            raise ValidationError(
+                f"Network object must have at least 2 fields provided: {self!r}"
+            )
+
+    def post_processing(self, report) -> None:
+        # c2 tag propagation socket -> network + url (mwcp/metadata.py:1334-1338)
+        if self.socket is not None and "c2" in self.socket.tags:
+            self.add_tag("c2")
+            if self.url is not None:
+                self.url.add_tag("c2")
+
+
+class EmailAddress(Element):
+    """mwcp/metadata.py:1548-1570."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        if isinstance(value, bytes):
+            value = value.decode("latin1")
+        self.value = value
+        self.validate()
+
+    def validate(self) -> None:
+        if "@" not in self.value:
+            raise ValidationError("Email address should at least have a '@' character.")
+
+
+class Other(Element):
+    """Key/value catch-all with value_format discriminator (mwcp/metadata.py:1970-2040)."""
+
+    FIELDS = ("key", "value", "value_format")
+
+    def __init__(self, key, value):
+        super().__init__()
+        self.key = key
+        self.value = value
+        if isinstance(value, bool):
+            self.value_format = "boolean"
+        elif isinstance(value, int):
+            self.value_format = "integer"
+        elif isinstance(value, str):
+            self.value_format = "string"
+        elif isinstance(value, bytes):
+            self.value_format = "bytes"
+        else:
+            raise ValidationError(f"Got unexpected data: {value!r}")
+
+
+class Mutex(Element):
+    """mwcp/metadata.py:1952-1967."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class DecodedString(Element):
+    """mwcp/metadata.py:1890-1915 (encryption_key omitted in v0 emitters)."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class PathElement(Element):
+    """Filesystem path (reference Path2, mwcp/metadata.py:492-603)."""
+
+    FIELDS = ("path", "is_dir", "posix", "file_system")
+    TYPE = "path"
+
+    def __init__(self, path, is_dir=None, posix=None, file_system=None):
+        super().__init__()
+        self.path = path
+        self.is_dir = is_dir
+        self.posix = posix
+        self.file_system = file_system
+        # posix autodetect from separators / drive letter
+        if self.posix is None and (path.count("\\") or path.count("/")):
+            self.posix = not (
+                re.match(r"^[A-Z]:\\", path) or path.count("\\") > path.count("/")
+            )
+
+
+class FileElement(Element):
+    """Residual/input file row (reference metadata.File, mwcp/metadata.py:2790-2880).
+
+    ``data`` stays None in reports (include_file_data defaults False,
+    mwcp/report.py:536-541); hashes are still derived from the raw bytes.
+    """
+
+    FIELDS = ("name", "description", "md5", "sha1", "sha256", "architecture",
+              "compile_time", "file_path", "data", "derivation")
+    TYPE = "file"
+
+    def __init__(self, name=None, description=None, md5=None, sha1=None,
+                 sha256=None, architecture=None, compile_time=None,
+                 file_path=None, data=None, derivation=None):
+        super().__init__()
+        import hashlib
+
+        self.name = name
+        self.description = description
+        self.md5 = md5
+        self.sha1 = sha1
+        self.sha256 = sha256
+        self.architecture = architecture
+        self.compile_time = compile_time
+        self.file_path = file_path
+        self.derivation = derivation
+        if data is not None:
+            if not self.md5:
+                self.md5 = hashlib.md5(data).hexdigest()
+            if not self.sha1:
+                self.sha1 = hashlib.sha1(data).hexdigest()
+            if not self.sha256:
+                self.sha256 = hashlib.sha256(data).hexdigest()
+        # Report output never carries raw bytes (include_file_data=False).
+        self.data = None
+
+
+def canonical_obj(element: Element) -> str:
+    """Triple ``obj`` string for an element."""
+    return element.canonical()

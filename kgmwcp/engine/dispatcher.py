@@ -1,0 +1,262 @@
+"""Row-local recursive dispatch engine.
+
+Re-implements the observable semantics of the reference's FIFO dispatcher
+(mwcp/dispatcher.py:139-354) as a bounded worklist that runs *inside one
+Arrow batch* of the Spark ``mapInPandas`` extract stage — residual-file
+recursion is row-local, so no cross-executor traffic is ever needed for it.
+
+Semantics preserved (citations into /root/reference):
+* FIFO queue; children enqueued with parent/child wiring (dispatcher.py:139-170)
+* ordered first-match identification with per-(rule, md5) memoization and
+  negative-caching after UnableToParse (dispatcher.py:172-202,238-239)
+* description/tags/parser set before run, restored on UnableToParse
+  (dispatcher.py:204-253)
+* unidentified files fall back to the parent group's ordering, then the
+  UnidentifiedFile default — only when no description was set
+  (dispatcher.py:320-336)
+* every identified file (or root-level unidentified file) with
+  ``output_file=True`` is reported as a File element attributed to its
+  *parent* (dispatcher.py:338-351)
+* per-source metadata list dedupe on add + post_processing hooks
+  (mwcp/report.py:772-791)
+* per-source flatten of nested elements with order-preserving dedupe when
+  emitting triples (mwcp/report.py:925-975)
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from kgmwcp import canonical as md
+from kgmwcp.engine.fileobj import SampleFile
+from kgmwcp.engine.parsers import (
+    DEFAULT_GROUP_ORDER,
+    RULE_GROUPS,
+    UNIDENTIFIED,
+    UnableToParse,
+)
+
+__all__ = ["ExtractionEngine", "ReportContext", "ExtractionResult"]
+
+MAX_DEPTH = 16          # recursion bound for residual-file dispatch
+MAX_FILES_PER_ROOT = 256  # zip-bomb style runaway guard
+
+
+class ReportContext:
+    """Per-root report accumulator handed to rules.
+
+    Mirrors the subset of mwcp.Report behavior rules rely on: element add
+    with equality-dedupe + post_processing, knowledge_base, child dispatch.
+    """
+
+    def __init__(self, engine: "ExtractionEngine", knowledge_base: dict):
+        self._engine = engine
+        self.knowledge_base = dict(knowledge_base)
+        # metadata per source file id (insertion ordered)
+        self._metadata: Dict[int, List[md.Element]] = {}
+        self._sources: List[SampleFile] = []
+        self._current: Optional[SampleFile] = None
+        self.errors: List[str] = []
+
+    def set_file(self, f: Optional[SampleFile]) -> None:
+        self._current = f
+        if f is not None and id(f) not in self._metadata:
+            self._metadata[id(f)] = []
+            self._sources.append(f)
+
+    def add(self, element: md.Element, source: Optional[SampleFile] = None) -> None:
+        """Add element for the current (or given) source file.
+
+        Equality-dedupe + validation-as-filter + post_processing, matching
+        mwcp/report.py:772-791.
+        """
+        target = source if source is not None else self._current
+        if target is None:
+            return
+        if id(target) not in self._metadata:
+            self._metadata[id(target)] = []
+            self._sources.append(target)
+        bucket = self._metadata[id(target)]
+        if element not in bucket:
+            try:
+                element.validate()
+            except md.ValidationError as exc:
+                self.errors.append(str(exc))
+                return
+            bucket.append(element)
+            element.post_processing(self)
+
+    def dispatch(self, child: SampleFile) -> None:
+        self._engine._enqueue(child, parent=self._current)
+
+    def log_error(self, message: str) -> None:
+        self.errors.append(message)
+
+    # -- emission ------------------------------------------------------
+    def iter_triples(self) -> Iterable[Tuple[SampleFile, str, str]]:
+        """(source, pred, canonical obj) with per-source flatten + dedupe.
+
+        Matches the per-source report model built by
+        Report._build_report_model -> Report.get(source=...) which flattens
+        nested elements and dedupes by structural equality
+        (mwcp/report.py:511-561,925-975).
+        """
+        for source in self._sources:
+            yielded: List[md.Element] = []
+            for element in self._metadata[id(source)]:
+                for item in [element, *element.sub_elements()]:
+                    if not any(item == seen for seen in yielded):
+                        yielded.append(item)
+                        yield source, item.type_name(), item.canonical()
+
+
+class ExtractionResult:
+    __slots__ = ("root", "triples", "files", "errors")
+
+    def __init__(self, root, triples, files, errors):
+        self.root = root
+        self.triples = triples  # list[(source SampleFile, pred, obj)]
+        self.files = files      # list[SampleFile] all processed files
+        self.errors = errors
+
+
+class ExtractionEngine:
+    """Runs the rule registry against one root sample (row-local)."""
+
+    def __init__(self, group_order: Optional[List[str]] = None,
+                 groups: Optional[dict] = None):
+        self.groups = groups or RULE_GROUPS
+        self.group_order = group_order or DEFAULT_GROUP_ORDER
+        # (rule_name, md5) -> bool identify memoization; shared across roots
+        # within one engine instance (i.e. one Arrow batch / python worker),
+        # mirroring dispatcher._identify_cache (mwcp/dispatcher.py:51-52).
+        self._identify_cache: Dict[Tuple[str, str], bool] = {}
+        self._queue: deque = deque()
+
+    # -- queue ----------------------------------------------------------
+    def _enqueue(self, child: SampleFile, parent: Optional[SampleFile]) -> None:
+        if child.parent is None and parent is not None:
+            child.parent = parent
+            child.depth = parent.depth + 1
+            child.origin_group = getattr(parent, "rule_group", None)
+            parent.children.append(child)
+        self._queue.appendleft(child)
+
+    # -- identification ---------------------------------------------------
+    def _identify(self, rule, f: SampleFile):
+        key = (rule.name(), f.md5)
+        if key in self._identify_cache:
+            cached = self._identify_cache[key]
+            if cached is False:
+                return False, ()
+            # positive cache only stored for plain-bool results
+            return True, ()
+        ret = rule.identify(f)
+        if isinstance(ret, tuple) and isinstance(ret[0], bool):
+            identified, *rest = ret
+            rest = tuple(rest)
+        else:
+            identified, rest = bool(ret), ()
+        # cache plain results and negatives (dispatcher.py:197-199)
+        if not rest or not identified:
+            self._identify_cache[key] = bool(identified)
+        return identified, rest
+
+    def _candidate_rules(self, f: SampleFile, route: Optional[str]):
+        """Ordered (group, rule) candidates for a file.
+
+        A child file is first offered to its origin group's rules (the
+        nested-dispatcher locality of the reference), then to the rest of
+        the registry order.  Explicit routing restricts roots to one group
+        but children may still fall through to the full registry when the
+        routed group is 'auto'-like; with an explicit route, fall-through
+        stays within that group (reference: running a named parser group).
+        """
+        if route:
+            order = [route]
+        else:
+            order = list(self.group_order)
+            origin = f.origin_group
+            if origin in order:
+                order.remove(origin)
+                order.insert(0, origin)
+        for group_name in order:
+            for rule in self.groups.get(group_name, ()):
+                yield group_name, rule
+
+    # -- parse ------------------------------------------------------------
+    def _try_parse(self, f: SampleFile, group: str, rule, ctx: ReportContext,
+                   run_args: tuple) -> bool:
+        """Set file metadata, run rule; restore + negative-cache on UnableToParse."""
+        orig_description = f.description
+        orig_tags = set(f.tags)
+        orig_rule = f.rule
+        if not f.description:
+            f.description = rule.DESCRIPTION
+        for tag in rule.TAGS:
+            f.add_tag(tag)
+        f.rule = rule
+        f.rule_group = group
+        ctx.set_file(f)
+        try:
+            rule().run(f, ctx, *run_args)
+            return True
+        except UnableToParse:
+            f.description = orig_description
+            f.tags = orig_tags
+            f.rule = orig_rule
+            self._identify_cache[(rule.name(), f.md5)] = False
+            return False
+        except Exception as exc:  # parser bug: swallow into errors (dispatcher.py:254-255)
+            ctx.log_error(f"{rule.name()} dispatch parser failed: {exc}")
+            return True
+
+    def run(self, data: bytes, name: Optional[str] = None,
+            route: Optional[str] = None,
+            knowledge_base: Optional[dict] = None) -> ExtractionResult:
+        """Process one root sample to fixpoint; returns triples + file tree."""
+        root = SampleFile(data, name=name, output_file=False)
+        ctx = ReportContext(self, knowledge_base or {})
+        ctx.set_file(root)
+        self._queue.clear()
+        self._queue.appendleft(root)
+        processed: List[SampleFile] = []
+
+        while self._queue and len(processed) < MAX_FILES_PER_ROOT:
+            f = self._queue.pop()
+            if f.depth > MAX_DEPTH:
+                ctx.log_error(f"max recursion depth exceeded at {f.name}")
+                continue
+            processed.append(f)
+
+            identified = False
+            for group, rule in self._candidate_rules(f, route):
+                ok, run_args = self._identify(rule, f)
+                if not ok:
+                    continue
+                if self._try_parse(f, group, rule, ctx, run_args):
+                    identified = True
+                    break  # non-greedy first-match (dispatcher.py:311-312)
+
+            if not identified and not f.description:
+                # default UnidentifiedFile (dispatcher.py:329-336)
+                self._try_parse(f, route or "default", UNIDENTIFIED, ctx, ())
+
+            # File reporting attributed to the parent (dispatcher.py:338-351).
+            # In the reference's nested setup every processed output_file=True
+            # file ends up reported: identified ones by their group's loop,
+            # unidentified ones by the root loop (no parent -> reports).
+            if f.output_file:
+                file_elem = md.FileElement(
+                    name=f.name,
+                    description=f.description,
+                    data=f.data,
+                    derivation=f.derivation,
+                )
+                file_elem.add_tag(*sorted(f.tags))  # File.from_file_object parity
+                ctx.add(file_elem, source=f.parent)
+
+        triples = list(ctx.iter_triples())
+        return ExtractionResult(root=root, triples=triples, files=processed,
+                                errors=ctx.errors)

@@ -1,0 +1,415 @@
+"""Extraction rules — a from-scratch, declarative re-expression of the
+reference parser registry (behavioral parity documented per rule with
+file:line citations into /root/reference).
+
+Each rule is a stateless class with:
+  ``identify(f) -> bool | (bool, *run_args)``  — per-row predicate
+  ``run(f, ctx, *run_args)``                   — flatMap: file -> elements + children
+
+Rules are grouped exactly like the reference's parser_config.yml groups;
+group order inside the registry is the routing order.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import ntpath
+import pathlib
+import re
+import string
+import tarfile
+import zipfile
+from typing import List
+
+from kgmwcp import canonical as md
+from kgmwcp.engine import vbe
+from kgmwcp.engine.fileobj import SampleFile
+
+__all__ = ["RULE_GROUPS", "DEFAULT_GROUP_ORDER", "UnableToParse", "UNIDENTIFIED"]
+
+
+class UnableToParse(Exception):
+    """Raised by a rule's run() on misidentification.
+
+    The engine backtracks to the next candidate rule, exactly like the
+    reference dispatcher (mwcp/dispatcher.py:232-253,305-309).
+    """
+
+
+class Rule:
+    DESCRIPTION = ""
+    TAGS: tuple = ()
+
+    @classmethod
+    def name(cls) -> str:
+        return cls.__name__
+
+    @classmethod
+    def identify(cls, f: SampleFile):
+        raise NotImplementedError
+
+    def run(self, f: SampleFile, ctx, *run_args) -> None:
+        raise NotImplementedError
+
+
+# --------------------------------------------------------------------------
+# Archive group (reference mwcp/parsers/Archive.py)
+# --------------------------------------------------------------------------
+
+class ArchiveZip(Rule):
+    """Zip member extraction (Archive.py:14-46)."""
+
+    DESCRIPTION = "Zip Archive File"
+
+    @classmethod
+    def identify(cls, f):
+        return f.data.startswith(b"PK")
+
+    def run(self, f, ctx):
+        try:
+            archive = zipfile.ZipFile(io.BytesIO(f.data))
+            for info in archive.infolist():
+                data = archive.read(info)
+                if not data:
+                    continue
+                ctx.dispatch(SampleFile(data, name=ntpath.basename(info.filename)))
+        except (IOError, zipfile.BadZipFile):
+            ctx.log_error("Failed to extract Zip archive.")
+
+
+class ArchiveGzip(Rule):
+    """tar.gz member extraction (Archive.py:49-68)."""
+
+    DESCRIPTION = "Gzip Archive file"
+
+    @classmethod
+    def identify(cls, f):
+        return f.data.startswith(b"\x1f\x8b")
+
+    def run(self, f, ctx):
+        try:
+            with tarfile.open(fileobj=io.BytesIO(f.data), mode="r:gz") as tar:
+                for member in tar.getmembers():
+                    if member.isfile():
+                        data = tar.extractfile(member).read()
+                        ctx.dispatch(SampleFile(data, name=pathlib.PurePath(member.name).name))
+        except (tarfile.TarError, gzip.BadGzipFile, EOFError):
+            ctx.log_error("Failed to extract gzip/tar archive.")
+
+
+# --------------------------------------------------------------------------
+# Decoy group (reference mwcp/parsers/Decoy.py)
+# --------------------------------------------------------------------------
+
+class _DecoyBase(Rule):
+    HEADER: bytes = b""
+    EXT: str = ""
+    CONTAINS: bytes = b""  # extra containment check for OOXML variants
+
+    @classmethod
+    def identify(cls, f):
+        if not f.data.startswith(cls.HEADER):
+            return False
+        if cls.CONTAINS:
+            return cls.CONTAINS in f.data
+        return True
+
+    def run(self, f, ctx):
+        # rename generic extensions to the decoy's type (Decoy.py:22-25)
+        if self.EXT and f.ext in ("", ".bin"):
+            f.ext = self.EXT
+
+
+class DecoyDOC(_DecoyBase):
+    DESCRIPTION = "Decoy Document (.doc)"
+    HEADER = b"\xd0\xcf\x11\xe0"
+    EXT = ".doc"
+
+
+class DecoyPDF(_DecoyBase):
+    DESCRIPTION = "Decoy Document (.pdf)"
+    HEADER = b"%PDF-"
+    EXT = ".pdf"
+
+
+class DecoyRTF(_DecoyBase):
+    DESCRIPTION = "Decoy Document (.rtf)"
+    HEADER = b"{\\rt"
+    EXT = ".rtf"
+
+
+class DecoyJPG(_DecoyBase):
+    DESCRIPTION = "Decoy (.jpg)"
+    HEADER = b"\xff\xd8\xff\xe0"
+    EXT = ".jpg"
+
+
+class DecoyDOCX(_DecoyBase):
+    DESCRIPTION = "Decoy Document (.docx)"
+    HEADER = b"PK\x03\x04"
+    EXT = ".docx"
+    CONTAINS = b"word/_rels"
+
+
+class DecoyXLSX(_DecoyBase):
+    DESCRIPTION = "Decoy Document (.xlsx)"
+    HEADER = b"PK\x03\x04"
+    EXT = ".xlsx"
+    CONTAINS = b"xl/_rels"
+
+
+class DecoyPPTX(_DecoyBase):
+    DESCRIPTION = "Decoy Document (.pptx)"
+    HEADER = b"PK\x03\x04"
+    EXT = ".pptx"
+    CONTAINS = b"ppt/_rels"
+
+
+# --------------------------------------------------------------------------
+# PDF group (reference mwcp/parsers/PDF.py)
+# --------------------------------------------------------------------------
+
+# Patterns carried over verbatim as *data constants* so extraction matches
+# the reference's golden outputs byte-for-byte (PDF.py:24-34).
+_PDF_URL_RE = re.compile(
+    rb"[a-zA-Z]{2,6}"
+    rb"://"
+    rb"([\w._\-]+(:[\w._\-]+)?@)?"
+    rb"[\w._\-]{4,253}"
+    rb"(:[\d]{1,5})?"
+    rb"(/[\w._\-~=%]*)*"
+    rb"(\?[\w._\-~=&,%]+)?"
+    rb"(#[\w._\-~]+)?"
+)
+_PDF_EMAIL_RE = re.compile(rb"[\w.+-]+@([A-Za-z0-9](|[\w-]{0,61}[A-Za-z0-9])\.)+[A-Za-z]{2,6}")
+_PDF_IGNORE_DOMAINS = (b"www.w3.org", b"ns.adobe.com", b"purl.org")
+
+
+class PDFDocument(Rule):
+    """Static URL + email extraction from PDFs (PDF.py:9-61)."""
+
+    DESCRIPTION = "PDF Document"
+
+    @classmethod
+    def identify(cls, f):
+        return f.data.startswith(b"%PDF") and bool(
+            _PDF_URL_RE.search(f.data) or _PDF_EMAIL_RE.search(f.data)
+        )
+
+    def run(self, f, ctx):
+        for match in _PDF_URL_RE.finditer(f.data):
+            url = match.group()
+            if not any(domain in url for domain in _PDF_IGNORE_DOMAINS):
+                ctx.add(md.URL(url.decode("latin1")))
+        for match in _PDF_EMAIL_RE.finditer(f.data):
+            ctx.add(md.EmailAddress(match.group()))
+
+
+# --------------------------------------------------------------------------
+# PowerShell group (reference mwcp/parsers/PowerShell.py)
+# --------------------------------------------------------------------------
+
+# Pattern carried over verbatim (PowerShell.py:20-37) — including its
+# quirky IP character-class construction — for golden parity.
+_PS_URL_RE = re.compile(
+    b"(https?://)"
+    b"((["
+    b"(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\."
+    b"(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\."
+    b"(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])\\."
+    b"(?:[0-9]|[1-9][0-9]|1[0-9]{2}|2[0-4][0-9]|25[0-5])]|"
+    b"[a-zA-Z0-9.-]+)"
+    b"(:\\d+)?"
+    b"(/[()a-zA-Z0-9_:%=/.-]*)?"
+)
+_PS_INVALID_DOMAINS = ("ipify.org", "whatismyipaddress.com")
+
+
+class PowerShellScript(Rule):
+    """URL extraction from .ps1 scripts (PowerShell.py:8-65)."""
+
+    DESCRIPTION = "PowerShell Script"
+
+    @classmethod
+    def identify(cls, f):
+        return f.name.endswith(".ps1")
+
+    def run(self, f, ctx):
+        urls = set()
+        for match in _PS_URL_RE.finditer(f.data):
+            url = match.group().decode()
+            if not any(bad in url for bad in _PS_INVALID_DOMAINS):
+                urls.add(url)
+        # reference iterates a set() — emission order is not guaranteed there
+        # either; we sort for determinism (dedupe semantics identical).
+        for url in sorted(urls):
+            ctx.add(md.URL(url))
+
+
+# --------------------------------------------------------------------------
+# Quarantined group (reference mwcp/parsers/Quarantined.py; only the
+# pure-XOR SymantecQB variant is implemented in v0 — the Blowfish/RC4/OLE
+# variants need crypto/olefile deps not present in this environment)
+# --------------------------------------------------------------------------
+
+# Known decoded-header probes (Quarantined.py:132-139) — public format magics.
+_QUARANTINE_FILE_HEADERS = [
+    re.compile(rb"^MZ.+PE\x00\x00", re.DOTALL),
+    re.compile(rb"^(PK\x03\x04|Cr24|Rar!|\xCA\xFE\xBA\xBE|CAB|SZDD)"),
+    re.compile(rb"^%PDF"),
+    re.compile(rb"^\xD0\xCF\x11\xE0\xA1\xB1\x1A\xE1"),
+    re.compile(rb"^\x20\x00\x02\x00\x00\x00\x12\x00\x0c\x00\x00\x00\x0D"),
+]
+
+
+class SymantecQB(Rule):
+    """Whole-file XOR-0xB3 quarantine decrypt (Quarantined.py:208-235)."""
+
+    DESCRIPTION = "Symantec Quarantined QB"
+    KEY = 0xB3
+
+    @classmethod
+    def identify(cls, f):
+        if f.parent is not None:
+            return False
+        header = bytes(b ^ cls.KEY for b in f.data[:32])
+        return any(rx.search(header) for rx in _QUARANTINE_FILE_HEADERS)
+
+    def run(self, f, ctx):
+        import numpy as np
+
+        # vectorized XOR over the whole payload
+        arr = np.frombuffer(f.data, dtype=np.uint8)
+        decrypted = np.bitwise_xor(arr, np.uint8(self.KEY)).tobytes()
+        ctx.dispatch(SampleFile(decrypted))
+
+
+# --------------------------------------------------------------------------
+# VisualBasic group (reference mwcp/parsers/VisualBasic.py)
+# --------------------------------------------------------------------------
+
+_PRINTABLE = string.printable.encode()
+_NULL_TRANS = bytes.maketrans(b"", b"")
+
+
+def _is_text(data: bytes, threshold: float = 0.30) -> bool:
+    """<=30% non-printable heuristic (VisualBasic.py:11-29)."""
+    if not data or b"\0" in data:
+        return False
+    non_text = data.translate(_NULL_TRANS, _PRINTABLE)
+    return (len(non_text) / len(data)) <= threshold
+
+
+_VB_KEYWORDS = (b"dim ", b"sub ", b"end sub", b"end function", b"createobject(")
+
+
+class VBScript(Rule):
+    """VBS keyword + text-ratio identification (VisualBasic.py:32-50)."""
+
+    DESCRIPTION = "VBScript"
+
+    @classmethod
+    def identify(cls, f):
+        lowered = f.data.lower()
+        return _is_text(lowered) and any(kw in lowered for kw in _VB_KEYWORDS)
+
+    def run(self, f, ctx):
+        # identification only; description set by the engine
+        return
+
+
+class VBE(Rule):
+    """VBE-encoded script decode -> residual file (VisualBasic.py:53-137)."""
+
+    DESCRIPTION = "Encoded VBScript"
+    START_TAG = vbe.START_TAG
+
+    @classmethod
+    def identify(cls, f):
+        return (
+            cls.START_TAG in f.data
+            and vbe.END_TAG in f.data
+            and f.data.index(cls.START_TAG) < 60
+        )
+
+    def run(self, f, ctx):
+        data = f.data
+        start = data.index(vbe.START_TAG) + len(vbe.START_TAG) + 8
+        end = data.index(vbe.END_TAG) - 6
+        decoded = vbe.decode_vbe_stream(data[start:end].decode("utf-8")).encode("utf-8")
+        if f.data.startswith(self.START_TAG):
+            ctx.dispatch(SampleFile(decoded, name=f"{f.stem}.vb"))
+        else:
+            child = SampleFile(decoded)
+            child.ext = ".vb"
+            ctx.dispatch(child)
+
+
+class EncodedASP(VBE):
+    """ASP wrapper around VBE — must precede VBE (parser_config.yml)."""
+
+    DESCRIPTION = "ASP with Encoded VBScript"
+    START_TAG = b"<%" + vbe.START_TAG
+
+
+# --------------------------------------------------------------------------
+# foo group (the reference's demo parser, mwcp/parsers/foo.py) — routed only
+# explicitly, never part of auto routing (it identifies *everything*).
+# --------------------------------------------------------------------------
+
+class Foo(Rule):
+    DESCRIPTION = "Foo"
+
+    @classmethod
+    def identify(cls, f):
+        return f.name != "fooconfigtest.txt"
+
+    def run(self, f, ctx):
+        secret = ctx.knowledge_base.get("secret")
+        if secret:
+            ctx.add(md.Other("secret_using_external_knowledge", secret + "!"))
+        ctx.knowledge_base["encryption_key"] = b"\xde\xad\xbe\xef"
+        ctx.add(md.URL("http://127.0.0.1"))
+        ctx.dispatch(SampleFile(
+            b"hello world",
+            name="fooconfigtest.txt",
+            description="example output file",
+            derivation="extracted and decompressed",
+        ))
+
+
+# --------------------------------------------------------------------------
+# Default rule (reference dispatcher.UnidentifiedFile, mwcp/dispatcher.py:20-33)
+# --------------------------------------------------------------------------
+
+class UnidentifiedFile(Rule):
+    DESCRIPTION = "Unidentified file"
+
+    @classmethod
+    def identify(cls, f):
+        return True
+
+    def run(self, f, ctx):
+        return
+
+
+UNIDENTIFIED = UnidentifiedFile
+
+# Group registry: name -> ordered rule classes (mirrors parser_config.yml).
+RULE_GROUPS = {
+    "Archive": [ArchiveZip, ArchiveGzip],
+    "Decoy": [DecoyDOC, DecoyPDF, DecoyRTF, DecoyJPG, DecoyDOCX, DecoyXLSX, DecoyPPTX],
+    "PDF": [PDFDocument],
+    "PowerShell": [PowerShellScript],
+    "Quarantined": [SymantecQB],
+    "VisualBasic": [EncodedASP, VBE, VBScript],
+    "foo": [Foo],
+}
+
+# Auto-routing order. The reference has no cross-group routing (you name a
+# parser or use YARA, mwcp/core.py:16-84) — this order is our registry-level
+# first-match policy: most-specific predicates first so generic groups
+# (Decoy ext-rename, Archive unpack) don't shadow real extractors.
+# foo is excluded — it identifies *any* file (demo parser).
+DEFAULT_GROUP_ORDER = ["Quarantined", "PDF", "PowerShell", "VisualBasic", "Decoy", "Archive"]

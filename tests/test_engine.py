@@ -1,0 +1,240 @@
+"""Unit tests for the row-local extraction engine (no Spark).
+
+Golden expectations hand-derived from reference behavior; the foo case is
+checked against the literal values in the reference's own golden report
+mwcp/parsers/tests/foo/f144899b86766688991c5d0d10902f4a.json.
+"""
+
+import hashlib
+import json
+
+import pytest
+
+from kgmwcp.engine import vbe
+from kgmwcp.engine.dispatcher import ExtractionEngine
+from kgmwcp.engine.fileobj import SampleFile
+
+
+def run(data, name=None, route=None, kb=None):
+    return ExtractionEngine().run(data, name=name, route=route, knowledge_base=kb)
+
+
+def triples_of(result):
+    return [(src.sha256, pred, json.loads(obj)) for src, pred, obj in result.triples]
+
+
+class TestFoo:
+    """Parity with the reference golden foo report."""
+
+    def test_foo_golden(self):
+        data = b"some text content for the foo parser\n"
+        result = run(data, name="anything.txt", route="foo", kb={"secret": "hello"})
+        root_sha = hashlib.sha256(data).hexdigest()
+        trips = triples_of(result)
+
+        preds = [pred for _, pred, _ in trips]
+        assert preds == ["other", "url", "network", "socket", "file"]
+        assert all(subj == root_sha for subj, _, _ in trips)
+
+        by_pred = {pred: obj for _, pred, obj in trips}
+        assert by_pred["other"] == {
+            "key": "secret_using_external_knowledge",
+            "tags": [], "value": "hello!", "value_format": "string",
+        }
+        assert by_pred["url"] == {
+            "url": "http://127.0.0.1", "path": None, "query": None,
+            "protocol": "http", "tags": [],
+        }
+        # nested network serialization carries type discriminators
+        assert by_pred["network"] == {
+            "credential": None,
+            "socket": {
+                "type": "socket", "tags": [], "address": "127.0.0.1",
+                "port": None, "network_protocol": None, "listen": None,
+            },
+            "tags": [],
+            "url": {
+                "type": "url", "tags": [], "url": "http://127.0.0.1",
+                "path": None, "query": None, "protocol": "http",
+            },
+        }
+        assert by_pred["socket"] == {
+            "address": "127.0.0.1", "port": None, "network_protocol": None,
+            "listen": None, "tags": [],
+        }
+        # literal hashes from the reference golden report
+        assert by_pred["file"] == {
+            "name": "fooconfigtest.txt",
+            "description": "example output file",
+            "md5": "5eb63bbbe01eeed093cb22bb8f5acdc3",
+            "sha1": "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed",
+            "sha256": "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9",
+            "architecture": None, "compile_time": None, "file_path": None,
+            "data": None, "derivation": "extracted and decompressed",
+            "tags": [],
+        }
+
+
+class TestPowerShell:
+    def test_urls_extracted_denylisted_deduped(self):
+        data = (
+            b"$a = 'http://10.1.2.3:8080/a/b.jpg';\n"
+            b"$b = 'https://evil-domain.com/gate.php';\n"
+            b"$b2 = 'https://evil-domain.com/gate.php';\n"  # dup
+            b"$c = 'https://api.ipify.org';\n"  # denylisted
+        )
+        result = run(data, name="run.ps1")
+        urls = sorted(
+            json.loads(obj)["url"] for _, pred, obj in result.triples if pred == "url"
+        )
+        assert urls == [
+            "http://10.1.2.3:8080/a/b.jpg",
+            "https://evil-domain.com/gate.php",
+        ]
+        # each URL has host:port -> socket + network expansion
+        preds = sorted(pred for _, pred, _ in result.triples)
+        assert preds.count("network") == 2
+        assert preds.count("socket") == 2
+
+    def test_url_socket_port_parsed(self):
+        data = b"x 'http://10.1.2.3:8080/a/b.jpg' y"
+        result = run(data, name="s.ps1")
+        sockets = [json.loads(o) for _, p, o in result.triples if p == "socket"]
+        assert sockets == [{
+            "address": "10.1.2.3", "port": 8080, "network_protocol": None,
+            "listen": None, "tags": [],
+        }]
+        url = next(json.loads(o) for _, p, o in result.triples if p == "url")
+        assert url["path"] == "/a/b.jpg"
+        assert url["protocol"] == "http"
+
+    def test_non_ps1_not_identified(self):
+        result = run(b"'http://10.1.2.3/'", name="run.txt")
+        assert not any(p == "url" for _, p, _ in result.triples)
+
+
+class TestPDF:
+    def test_pdf_urls_and_emails(self):
+        data = (
+            b"%PDF-1.4\nsome stream http://bad.example.com/x?q=1 "
+            b"contact admin@bad.example.com and http://www.w3.org/1999/xhtml end"
+        )
+        result = run(data, name="doc.pdf")
+        urls = [json.loads(o)["url"] for _, p, o in result.triples if p == "url"]
+        assert "http://bad.example.com/x?q=1" in urls
+        assert not any("w3.org" in u for u in urls)
+        emails = [json.loads(o)["value"] for _, p, o in result.triples if p == "email_address"]
+        assert emails == ["admin@bad.example.com"]
+
+    def test_pdf_without_iocs_is_decoy(self):
+        result = run(b"%PDF-1.4\nnothing here", name="plain.bin")
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        # root is input (not reported); no children -> no file rows
+        assert files == []
+        assert result.files[0].description == "Decoy Document (.pdf)"
+        assert result.files[0].name.endswith(".pdf")  # ext renamed from .bin
+
+
+class TestArchive:
+    def test_zip_recursion_attributes_urls_to_child(self):
+        import io
+        import zipfile
+
+        inner = b"iex 'http://10.9.8.7/payload.bin'"
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            info = zipfile.ZipInfo("sub/inner.ps1", date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, inner)
+            info2 = zipfile.ZipInfo("note.txt", date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info2, b"hello note")
+        data = buf.getvalue()
+
+        result = run(data, name="drop.zip")
+        root_sha = hashlib.sha256(data).hexdigest()
+        inner_sha = hashlib.sha256(inner).hexdigest()
+
+        url_rows = [(s.sha256, json.loads(o)) for s, p, o in result.triples if p == "url"]
+        assert url_rows and all(subj == inner_sha for subj, _ in url_rows)
+        assert url_rows[0][1]["url"] == "http://10.9.8.7/payload.bin"
+
+        # child File elements attributed to the zip (parent)
+        file_rows = [(s.sha256, json.loads(o)) for s, p, o in result.triples if p == "file"]
+        assert {subj for subj, _ in file_rows} == {root_sha}
+        names = sorted(obj["name"] for _, obj in file_rows)
+        assert names == ["inner.ps1", "note.txt"]
+        descs = {obj["name"]: obj["description"] for _, obj in file_rows}
+        assert descs["inner.ps1"] == "PowerShell Script"
+        assert descs["note.txt"] == "Unidentified file"
+
+    def test_targz_member(self):
+        import gzip as gz
+        import io
+        import tarfile
+
+        member = b"dim x\r\nset y = createobject(\"wscript.shell\")\r\n"
+        tarbuf = io.BytesIO()
+        with tarfile.open(fileobj=tarbuf, mode="w") as tar:
+            ti = tarfile.TarInfo("m.vbs")
+            ti.size = len(member)
+            ti.mtime = 0
+            tar.addfile(ti, io.BytesIO(member))
+        gzbuf = io.BytesIO()
+        with gz.GzipFile(fileobj=gzbuf, mode="wb", mtime=0) as gzf:
+            gzf.write(tarbuf.getvalue())
+        data = gzbuf.getvalue()
+
+        result = run(data, name="drop.tar.gz")
+        file_rows = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert [f["name"] for f in file_rows] == ["m.vbs"]
+        assert file_rows[0]["description"] == "VBScript"
+
+
+class TestVBE:
+    def test_roundtrip_codec(self):
+        script = 'dim x\r\nset shell = createobject("WScript.Shell")\r\nshell.run "calc"\r\n'
+        assert vbe.decode_vbe_stream(vbe.encode_vbe_stream(script)) == script
+
+    def test_vbe_decodes_to_child_vbscript(self):
+        script = 'dim x\r\nset shell = createobject("WScript.Shell")\r\n'
+        data = vbe.wrap_vbe(script)
+        result = run(data, name="enc.vbe")
+        assert result.files[0].description == "Encoded VBScript"
+        file_rows = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert [f["name"] for f in file_rows] == ["enc.vb"]
+        assert file_rows[0]["sha256"] == hashlib.sha256(script.encode()).hexdigest()
+        # decoded child identified as VBScript
+        assert result.files[1].description == "VBScript"
+
+
+class TestQuarantine:
+    def test_symantec_qb_xor(self):
+        plain = b"%PDF-1.4 fake payload body for the quarantine test"
+        data = bytes(b ^ 0xB3 for b in plain)
+        result = run(data, name="sample.qbd")
+        assert result.files[0].description == "Symantec Quarantined QB"
+        file_rows = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert file_rows and file_rows[0]["sha256"] == hashlib.sha256(plain).hexdigest()
+        # decoded child is itself identified (Decoy PDF since no URLs)
+        assert result.files[1].description == "Decoy Document (.pdf)"
+
+
+class TestDedupe:
+    def test_same_element_added_once(self):
+        data = b"a 'http://1.2.3.4/x' b 'http://1.2.3.4/x' c"
+        result = run(data, name="d.ps1")
+        url_rows = [o for _, p, o in result.triples if p == "url"]
+        assert len(url_rows) == 1
+
+
+class TestUnidentified:
+    def test_unidentified_root_has_no_triples(self):
+        result = run(b"nothing interesting here", name="blob.txt")
+        assert result.triples == []
+        assert result.files[0].description == "Unidentified file"
+
+
+class TestValidation:
+    def test_invalid_port_dropped_not_raised(self):
+        from kgmwcp import canonical as md
+        with pytest.raises(md.ValidationError):
+            md.Socket(address="x", port=70000)
