@@ -1,0 +1,153 @@
+"""Deterministic fixture corpus generator (FIXTURES.md §A).
+
+Synthesizes the pipeline's input table ``(repo, path, commit, lang,
+content[, route])`` at a chosen replication factor.  Fully deterministic:
+fixed literal payloads, zip entries dated 1980-01-01, gzip mtime=0 — no
+wall-clock anywhere.  Binary payloads are base64 in ``content`` with
+``lang='binary-b64'`` (stage 0 decodes before hashing, preserving the
+content-sha256 invariant).
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import io
+import tarfile
+import zipfile
+from typing import Iterator, List, Optional, Tuple
+
+from kgmwcp.engine import vbe
+
+__all__ = ["corpus_rows", "corpus_df", "PS1_URLS", "PDF_TEXT", "VBS_TEXT"]
+
+# -- canonical payloads ------------------------------------------------------
+
+PS1_URLS = (
+    "$c2 = 'http://10.1.2.3:8080/a/b.jpg';\n"
+    "Invoke-WebRequest 'https://evil-domain.com/gate.php'\n"
+    "$me = 'https://api.ipify.org'  # dropped by denylist\n"
+)
+
+PDF_TEXT = (
+    "%PDF-1.4\n1 0 obj\n<< /URI (http://bad.example.com/x?q=1) >>\n"
+    "contact admin@bad.example.com\n"
+    "xmlns http://www.w3.org/1999/xhtml ignored\nendobj\n"
+)
+
+VBS_TEXT = 'dim x\r\nset shell = createobject("WScript.Shell")\r\nshell.run "cmd"\r\n'
+
+MUTEX_PS1 = (
+    "$u = 'http://mutex-c2.example.com/beacon'\n"  # shared hot entity
+    "New-Object System.Threading.Mutex($false, 'Global\\PopularMutex')\n"
+)
+
+PLAIN_TEXT = "just some ordinary readme text with nothing interesting.\n"
+
+FOO_TEXT = "config blob for the demo foo parser\n"
+
+
+def _zip_payload(inner_ps1: bytes, variant: int) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        info = zipfile.ZipInfo("payload/inner.ps1", date_time=(1980, 1, 1, 0, 0, 0))
+        zf.writestr(info, inner_ps1)
+        note = zipfile.ZipInfo("note.txt", date_time=(1980, 1, 1, 0, 0, 0))
+        zf.writestr(note, f"note {variant}\n".encode())
+    return buf.getvalue()
+
+
+def _targz_payload(member: bytes, variant: int) -> bytes:
+    tarbuf = io.BytesIO()
+    with tarfile.open(fileobj=tarbuf, mode="w") as tar:
+        info = tarfile.TarInfo(f"m{variant}.vbs")
+        info.size = len(member)
+        info.mtime = 0
+        tar.addfile(info, io.BytesIO(member))
+    out = io.BytesIO()
+    with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gzf:
+        gzf.write(tarbuf.getvalue())
+    return out.getvalue()
+
+
+def _qb_payload(plain: bytes) -> bytes:
+    return bytes(b ^ 0xB3 for b in plain)
+
+
+def _b64(data: bytes) -> str:
+    return base64.b64encode(data).decode("ascii")
+
+
+def _commit(seed: str) -> str:
+    return hashlib.sha1(seed.encode()).hexdigest()
+
+
+Row = Tuple[str, str, str, str, str, Optional[str]]
+COLUMNS = ["repo", "path", "commit", "lang", "content", "route"]
+
+
+def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
+    """Build the corpus; ``replication`` scales every class, ``hot_rows``
+    scales only the hot-entity class (skew knob).
+
+    Repo assignment is intentionally skewed: ~half of all rows land in two
+    repos (exercises the repartition/skew path per FIXTURES.md).
+    """
+    rows: List[Row] = []
+
+    def add(cls: str, i: int, path: str, lang: str, content: str,
+            route: Optional[str] = None) -> None:
+        # 50% of rows in repo-000/repo-001, rest spread over 30 repos
+        ordinal = len(rows)
+        if ordinal % 2 == 0:
+            repo = f"repo-{ordinal % 2:03d}"
+        else:
+            repo = f"repo-{2 + (ordinal % 30):03d}"
+        rows.append((repo, path, _commit(f"{cls}/{i}/{path}"), lang, content, route))
+
+    for i in range(replication):
+        # variant suffix makes each replica content-distinct (distinct sha256)
+        v = f"\n# variant {i}\n"
+        vb = f"' variant {i}\r\n"
+
+        add("ps1_urls", i, f"x{i}/run.ps1", "powershell", PS1_URLS + v)
+        add("pdf_iocs", i, f"a{i}/doc.pdf", "pdf", PDF_TEXT + v)
+        add("vbs_plain", i, f"s{i}/mal.vbs", "vbscript", VBS_TEXT + vb)
+        add("vbe_script", i, f"s{i}/enc.vbe", "binary-b64",
+            _b64(vbe.wrap_vbe(VBS_TEXT + vb)))
+        add("zip_nested", i, f"a{i}/drop.zip", "binary-b64",
+            _b64(_zip_payload((PS1_URLS + v).encode(), i)))
+        add("gzip_tar", i, f"a{i}/drop.tar.gz", "binary-b64",
+            _b64(_targz_payload((VBS_TEXT + vb).encode(), i)))
+        add("decoy_doc", i, f"d{i}/readme.bin", "binary-b64",
+            _b64(b"\xd0\xcf\x11\xe0" + f"decoy filler {i}".encode()))
+        add("qb_xor", i, f"q{i}/sample.qbd", "binary-b64",
+            _b64(_qb_payload((PDF_TEXT + v).encode())))
+        add("foo_any", i, f"f{i}/anything.txt", "text", FOO_TEXT + v, route="foo")
+        add("unidentified", i, f"u{i}/blob.txt", "text", PLAIN_TEXT + v)
+        # dup_pair: identical content, different repo/path -> same sha256
+        add("dup_a", i, f"p{i}/dup_a.ps1", "powershell", PS1_URLS)
+        add("dup_b", i, f"p{i}/dup_b.ps1", "powershell", PS1_URLS)
+
+    for i in range(hot_rows):
+        # hot_mutex: every row extracts the same URL entity -> hot key
+        add("hot_mutex", i, f"h{i}/beacon.ps1", "powershell",
+            MUTEX_PS1 + f"# row {i}\n")
+
+    return rows
+
+
+def corpus_df(spark, replication: int = 1, hot_rows: int = 8):
+    from kgmwcp.schema import DOCUMENTS_SCHEMA, ROUTE_COLUMN
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(list(DOCUMENTS_SCHEMA) + [StructField(ROUTE_COLUMN, StringType())])
+    return spark.createDataFrame(corpus_rows(replication, hot_rows), schema)
+
+
+def iter_expected_root_hashes(replication: int = 1, hot_rows: int = 8) -> Iterator[str]:
+    """sha256 of each row's decoded content (test helper)."""
+    for _, _, _, lang, content, _ in corpus_rows(replication, hot_rows):
+        raw = base64.b64decode(content) if lang == "binary-b64" else content.encode()
+        yield hashlib.sha256(raw).hexdigest()

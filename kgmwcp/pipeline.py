@@ -1,2 +1,105 @@
-class Pipeline: pass
-class PipelineConfig: pass
+"""Pipeline orchestration: documents -> samples -> records -> KG tables.
+
+Spark lifecycle (SURVEY.md §3.3): stage0 hash+norm (Columns) -> stage2
+extract+recurse (single mapInPandas) -> stage4 dedup -> stage5
+canonicalize/link (salted) -> stage6 nodes/edges/triples/reports ->
+lineage manifests + metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgmwcp.lineage import CheckpointedRun
+from kgmwcp.stages.extract import extract_records
+from kgmwcp.stages.ingest import prepare_samples
+from kgmwcp.stages.link import (
+    edges_of,
+    files_of,
+    mentions_of,
+    nodes_of,
+    triples_of,
+)
+from kgmwcp.stages.report import reports_of
+
+__all__ = ["Pipeline", "PipelineConfig"]
+
+
+@dataclass
+class PipelineConfig:
+    n_buckets: int = 64
+    salt_buckets: int = 16
+    group_order: Optional[List[str]] = None
+    knowledge_base: dict = field(default_factory=dict)
+    # repartition the python stage's input so blob work spreads evenly and
+    # decorrelates repo skew (one giant repo must not pin one task).
+    extract_partitions: Optional[int] = None
+
+
+class Pipeline:
+    def __init__(self, config: Optional[PipelineConfig] = None):
+        self.config = config or PipelineConfig()
+
+    # -- stages ----------------------------------------------------------
+    def samples(self, docs: DataFrame) -> DataFrame:
+        return prepare_samples(docs, n_buckets=self.config.n_buckets)
+
+    def records(self, docs: DataFrame) -> DataFrame:
+        samples = self.samples(docs)
+        if self.config.extract_partitions:
+            # spread by content hash, not by repo/path file layout
+            samples = samples.repartition(self.config.extract_partitions, "sha256")
+        return extract_records(
+            samples,
+            group_order=self.config.group_order,
+            knowledge_base=self.config.knowledge_base,
+        )
+
+    # -- full run ----------------------------------------------------------
+    def run(self, docs: DataFrame) -> Dict[str, DataFrame]:
+        records = self.records(docs)
+        return self.tables_from_records(records)
+
+    def tables_from_records(self, records: DataFrame) -> Dict[str, DataFrame]:
+        return {
+            "records": records,
+            "mentions": mentions_of(records),
+            "files": files_of(records),
+            "triples": triples_of(records),
+            "nodes": nodes_of(records, salt_buckets=self.config.salt_buckets),
+            "edges": edges_of(records),
+            "reports": reports_of(records),
+        }
+
+    # -- checkpointed run ---------------------------------------------------
+    def run_checkpointed(self, spark: SparkSession, docs: DataFrame,
+                         out_dir: str,
+                         fail_after_buckets: Optional[int] = None) -> Dict[str, DataFrame]:
+        """Resumable run: skips committed buckets, heals partial writes."""
+        ckpt = CheckpointedRun(spark, out_dir)
+        samples = self.samples(docs)
+        frontier = ckpt.frontier(samples)
+        if self.config.extract_partitions:
+            frontier = frontier.repartition(self.config.extract_partitions, "sha256")
+        records = extract_records(
+            frontier,
+            group_order=self.config.group_order,
+            knowledge_base=self.config.knowledge_base,
+        )
+        ckpt.write_records(records, fail_after_buckets=fail_after_buckets)
+        committed = ckpt.read_records()
+        return self.tables_from_records(committed)
+
+    # -- metrics -------------------------------------------------------------
+    @staticmethod
+    def metrics(records: DataFrame) -> DataFrame:
+        """Counters table (SURVEY.md R13): rows per kind/pred per bucket."""
+        return (
+            records.groupBy("bucket", "kind", "pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket", "kind", "pred")
+        )

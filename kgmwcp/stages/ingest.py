@@ -1,0 +1,42 @@
+"""Stage 0 — ingest + identity.
+
+Pure Column expressions (whole-stage codegen, no Python):
+  * binary payload decode: ``lang='binary-b64'`` rows hold base64 in
+    ``content``; everything else is utf-8 text,
+  * sha256/md5 identity — THE per-row invariant vs the reference's
+    FileObject hashes (mwcp/file_object.py:342-370),
+  * deterministic bucket id for lineage/checkpointing (crc32, stable
+    across runs/sessions, unlike a random or partition-local id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgmwcp.schema import ROUTE_COLUMN
+
+__all__ = ["prepare_samples"]
+
+
+def prepare_samples(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """documents(repo,path,commit,lang,content[,route]) -> samples."""
+    if ROUTE_COLUMN not in docs.columns:
+        docs = docs.withColumn(ROUTE_COLUMN, F.lit(None).cast("string"))
+    content_bin = (
+        F.when(F.col("lang") == "binary-b64", F.unbase64(F.col("content")))
+        .otherwise(F.encode(F.col("content"), "utf-8"))
+    )
+    samples = (
+        docs
+        .withColumn("content_bin", content_bin)
+        .withColumn("sha256", F.sha2(F.col("content_bin"), 256))
+        .withColumn("md5", F.md5(F.col("content_bin")))
+        .withColumn("size", F.length(F.col("content_bin")).cast("long"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode(F.col("sha256"), "utf-8")), F.lit(n_buckets))
+            .cast("int"),
+        )
+    )
+    return samples

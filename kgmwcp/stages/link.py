@@ -1,0 +1,169 @@
+"""Stages 4-6 — dedupe, entity linking/canonicalization, graph materialize.
+
+All JVM-side Column expressions (whole-stage codegen); the only shuffles are
+the ones the semantics require: one distinct for triples (R1), one aggregate
+for nodes (R5), one distinct for edges.  Hot-key skew (common mutexes,
+127.0.0.1-class sockets) is absorbed by map-side partial aggregation plus an
+explicit salted two-phase aggregate for the mention counts (SURVEY.md R17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "mentions_of", "files_of", "triples_of", "entities_of", "nodes_of",
+    "edges_of", "canonical_value_expr",
+]
+
+# entity-bearing value per pred, extracted from the canonical obj JSON.
+# get_json_object is JVM-side; no Python touches this path.
+_VALUE_PATH = {
+    "url": "$.url",
+    "email_address": "$.value",
+    "mutex": "$.value",
+    "pipe": "$.value",
+    "event": "$.value",
+    "mission_id": "$.value",
+    "user_agent": "$.value",
+    "decoded_string": "$.value",
+    "other": "$.value",
+    "path": "$.path",
+    "registry": "$.key",
+    "file": "$.sha256",
+}
+
+
+def canonical_value_expr(pred_col, obj_col):
+    """Entity canonical value: pred-specific field + IOC normalization.
+
+    Normalization (entity linking, not triple identity): refang common
+    defang patterns ([.] -> ., hxxp -> http), case-fold.  The socket
+    entity key is address:port like the reference's network-traffic
+    uuid5 seed f"{address}//{port}//..." (mwcp/metadata.py:1010-1016).
+    """
+    value = F.when(
+        pred_col == "socket",
+        F.concat_ws(
+            ":",
+            F.get_json_object(obj_col, "$.address"),
+            F.coalesce(F.get_json_object(obj_col, "$.port"), F.lit("")),
+        ),
+    ).when(
+        pred_col == "network",
+        F.get_json_object(obj_col, "$.url.url"),
+    )
+    for pred, path in _VALUE_PATH.items():
+        value = value.when(pred_col == pred, F.get_json_object(obj_col, path))
+    value = value.otherwise(obj_col)
+    refanged = F.regexp_replace(
+        F.regexp_replace(value, r"\[\.\]", "."), "(?i)^hxxp", "http"
+    )
+    return F.lower(refanged)
+
+
+def mentions_of(records: DataFrame) -> DataFrame:
+    return records.filter(F.col("kind") == "mention")
+
+
+def files_of(records: DataFrame) -> DataFrame:
+    return (
+        records.filter(F.col("kind") == "file_node")
+        .select(
+            "root_sha256",
+            F.col("file_sha256").alias("sha256"),
+            F.col("file_md5").alias("md5"),
+            F.col("file_name").alias("name"),
+            F.col("file_description").alias("description"),
+            F.col("file_derivation").alias("derivation"),
+            "parent_sha256", "depth", "repo", "path", "commit", "parser",
+        )
+    )
+
+
+def triples_of(records: DataFrame) -> DataFrame:
+    """(subj, pred, obj) with cross-sample dedupe (SURVEY.md R1).
+
+    The engine already dedupes per source; identical content appearing in
+    several repos yields identical triples which this distinct collapses.
+    """
+    return mentions_of(records).select("subj", "pred", "obj").dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+
+def entities_of(records: DataFrame) -> DataFrame:
+    """Per-mention entity key columns (no shuffle yet)."""
+    m = mentions_of(records)
+    canonical = canonical_value_expr(F.col("pred"), F.col("obj"))
+    return (
+        m.select("subj", "pred", "obj", "repo")
+        .withColumn("canonical_value", canonical)
+        .withColumn(
+            "entity_id",
+            F.sha2(F.concat_ws("//", F.col("pred"), F.col("canonical_value")), 256),
+        )
+    )
+
+
+def nodes_of(records: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Canonical entity table (SURVEY.md R5 + R17).
+
+    Two-phase salted aggregation: phase 1 groups on (entity_id, salt) so a
+    hot entity (e.g. one mutex shared by millions of samples) spreads over
+    ``salt_buckets`` reducers; phase 2 merges the partials.  max_by(payload,
+    length) keeps the richest serialization, mirroring the STIX writer's
+    longest-serialization dedupe (mwcp/stix/report_writer.py:142-150).
+    n_samples is exact: dedupe (entity_id, subj) first, then count.
+    """
+    ent = entities_of(records)
+    salt = F.pmod(F.crc32(F.col("subj")), F.lit(salt_buckets)).cast("int")
+    partial = (
+        ent.withColumn("salt", salt)
+        .groupBy("entity_id", "salt")
+        .agg(
+            F.first("pred").alias("entity_kind"),
+            F.first("canonical_value").alias("canonical_value"),
+            F.max_by("obj", F.length("obj")).alias("payload"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    merged = partial.groupBy("entity_id").agg(
+        F.first("entity_kind").alias("entity_kind"),
+        F.first("canonical_value").alias("canonical_value"),
+        F.max_by("payload", F.length("payload")).alias("payload"),
+        F.sum("cnt").alias("n_mentions"),
+    )
+    per_sample = (
+        ent.select("entity_id", "subj").dropDuplicates(["entity_id", "subj"])
+        .groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_samples"))
+    )
+    return merged.join(per_sample, "entity_id", "left").select(
+        "entity_id", "entity_kind", "canonical_value", "payload",
+        "n_mentions", "n_samples",
+    )
+
+
+def edges_of(records: DataFrame) -> DataFrame:
+    """(sample)-[pred]->(entity) mention edges + (parent)-[dispatched]->(child)
+    file-derivation edges (mwcp/dispatcher.py:160-170)."""
+    ent = entities_of(records)
+    mention_edges = ent.select(
+        F.col("subj").alias("src"),
+        F.col("pred").alias("rel"),
+        F.col("entity_id").alias("dst"),
+        "repo",
+    ).dropDuplicates(["src", "rel", "dst"])
+    file_edges = (
+        files_of(records)
+        .filter(F.col("parent_sha256").isNotNull())
+        .select(
+            F.col("parent_sha256").alias("src"),
+            F.lit("dispatched").alias("rel"),
+            F.col("sha256").alias("dst"),
+            "repo",
+        )
+        .dropDuplicates(["src", "rel", "dst"])
+    )
+    return mention_edges.unionByName(file_edges)

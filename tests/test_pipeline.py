@@ -1,0 +1,147 @@
+"""End-to-end Spark pipeline tests on the deterministic fixture corpus."""
+
+import base64
+import hashlib
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgmwcp import fixtures
+from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return fixtures.corpus_df(spark, replication=2, hot_rows=8).cache()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, corpus):
+    pipe = Pipeline(PipelineConfig(n_buckets=8, knowledge_base={"secret": "hello"}))
+    tabs = pipe.run(corpus)
+    tabs["records"] = tabs["records"].cache()
+    return tabs
+
+
+def test_sha256_invariant(spark, corpus):
+    """Spark sha2(content_bin) == hashlib.sha256 of the decoded payload —
+    the per-row invariant vs reference FileObject.sha256."""
+    pipe = Pipeline(PipelineConfig(n_buckets=8))
+    got = {
+        (r["path"]): r["sha256"]
+        for r in pipe.samples(corpus).select("path", "sha256").collect()
+    }
+    for repo, path, commit, lang, content, route in fixtures.corpus_rows(2, 8):
+        raw = base64.b64decode(content) if lang == "binary-b64" else content.encode()
+        assert got[path] == hashlib.sha256(raw).hexdigest()
+
+
+def test_ps1_urls_and_expansion(tables):
+    triples = tables["triples"]
+    sha = hashlib.sha256(fixtures.PS1_URLS.encode()).hexdigest()  # dup_pair content
+    rows = triples.filter(F.col("subj") == sha).collect()
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["pred"], []).append(json.loads(r["obj"]))
+    urls = sorted(o["url"] for o in by_pred["url"])
+    assert urls == ["http://10.1.2.3:8080/a/b.jpg", "https://evil-domain.com/gate.php"]
+    assert len(by_pred["network"]) == 2
+    assert len(by_pred["socket"]) == 2
+    sockets = sorted((o["address"], o["port"]) for o in by_pred["socket"])
+    assert sockets == [("10.1.2.3", 8080), ("evil-domain.com", None)]
+
+
+def test_dup_pair_collapses_in_triples(tables, corpus):
+    # dup_a + dup_b have identical content; triples are keyed by sha256 so
+    # exactly one triple set exists despite two source rows.
+    sha = hashlib.sha256(fixtures.PS1_URLS.encode()).hexdigest()
+    n_rows = corpus.filter(F.col("content") == fixtures.PS1_URLS).count()
+    assert n_rows == 4  # 2 replications x dup_a/dup_b
+    n_url_triples = tables["triples"].filter(
+        (F.col("subj") == sha) & (F.col("pred") == "url")
+    ).count()
+    assert n_url_triples == 2
+
+
+def test_zip_children_attributed_to_child(tables):
+    inner = (fixtures.PS1_URLS + "\n# variant 0\n").encode()
+    inner_sha = hashlib.sha256(inner).hexdigest()
+    urls = tables["triples"].filter(
+        (F.col("subj") == inner_sha) & (F.col("pred") == "url")
+    ).count()
+    assert urls == 2
+    # file-derivation edge zip -> inner.ps1 exists
+    edges = tables["edges"].filter(
+        (F.col("rel") == "dispatched") & (F.col("dst") == inner_sha)
+    ).count()
+    assert edges == 1
+
+
+def test_foo_knowledge_base(tables):
+    others = [
+        json.loads(r["obj"])
+        for r in tables["triples"].filter(F.col("pred") == "other").collect()
+    ]
+    assert {"key": "secret_using_external_knowledge", "tags": [],
+            "value": "hello!", "value_format": "string"} in others
+
+
+def test_hot_entity_node(tables):
+    nodes = tables["nodes"].filter(
+        F.col("canonical_value") == "http://mutex-c2.example.com/beacon"
+    ).collect()
+    url_nodes = [n for n in nodes if n["entity_kind"] == "url"]
+    assert len(url_nodes) == 1
+    node = url_nodes[0]
+    assert node["n_mentions"] == 8
+    assert node["n_samples"] == 8
+    # one canonical node, 8 sample edges
+    edge_count = tables["edges"].filter(
+        (F.col("dst") == node["entity_id"]) & (F.col("rel") == "url")
+    ).count()
+    assert edge_count == 8
+
+
+def test_vbe_decodes_and_identifies_child(tables):
+    files = tables["files"]
+    vb_children = files.filter(F.col("name").endswith(".vb")).collect()
+    assert len(vb_children) == 2  # one per replication
+    assert all(c["description"] == "VBScript" for c in vb_children)
+    assert all(c["parent_sha256"] is not None for c in vb_children)
+
+
+def test_qb_xor_child_is_pdf_with_urls(tables):
+    plain = (fixtures.PDF_TEXT + "\n# variant 0\n").encode()
+    child_sha = hashlib.sha256(plain).hexdigest()
+    urls = tables["triples"].filter(
+        (F.col("subj") == child_sha) & (F.col("pred") == "url")
+    ).collect()
+    assert any(json.loads(r["obj"])["url"] == "http://bad.example.com/x?q=1" for r in urls)
+
+
+def test_reports_one_per_root(tables, corpus):
+    n_roots_expected = (
+        corpus.select(
+            F.sha2(
+                F.when(F.col("lang") == "binary-b64", F.unbase64("content"))
+                .otherwise(F.encode("content", "utf-8")),
+                256,
+            ).alias("sha"),
+        )
+        .distinct()
+        .count()
+    )
+    reports = tables["reports"]
+    assert reports.count() == n_roots_expected
+    assert reports.filter(F.col("report_json").isNull()).count() == 0
+
+
+def test_unidentified_has_no_mentions(tables):
+    sha = hashlib.sha256((fixtures.PLAIN_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    assert tables["triples"].filter(F.col("subj") == sha).count() == 0
+
+
+def test_metrics_table(tables):
+    metrics = Pipeline.metrics(tables["records"]).collect()
+    assert any(m["kind"] == "mention" and m["pred"] == "url" for m in metrics)
