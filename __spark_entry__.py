@@ -1,38 +1,94 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full KG-construction pipeline (stage0
+ingest -> mapInPandas extract -> dedup -> entity link) over the sf0.001
+``documents`` table mapped to the corpus shape, unioned with the
+deterministic fixture corpus (which exercises every parser rule).
+
+``queries()`` / ``oracle_sql()`` — operator inventory from SURVEY.md §2
+plus the training-data ops (dedup / similarity / text analysis /
+multimodal plumbing), each checked against a DuckDB oracle at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgmwcp.ops import dedup as _dedup  # noqa: E402
+from kgmwcp.ops import multimodal as _multimodal  # noqa: E402
+from kgmwcp.ops import relational as _relational  # noqa: E402
+from kgmwcp.ops import similarity as _similarity  # noqa: E402
+from kgmwcp.ops import textops as _textops  # noqa: E402
+
+
+def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the synthetic documents table onto the pipeline input shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha1(F.encode(F.col("text"), "utf-8")).alias("commit"),
+        F.lit("text").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from kgmwcp import fixtures
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    sf_dir = "/root/testdata/sf0.001"
+    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
+    corpus = fixtures.corpus_df(spark, replication=2, hot_rows=8)
+    docs = _docs_as_corpus(spark, sf_dir).withColumn("route", F.lit(None).cast("string"))
+    triples = pipe.run(corpus.unionByName(docs))["triples"]
+    return triples
+
+
+def _pipeline_fixture_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline on the fixture corpus (rows-only check —
+    the fixture corpus is synthesized in-memory, DuckDB never sees it)."""
+    from kgmwcp import fixtures
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
+    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
+    return pipe.run(corpus)["triples"]
+
+
+def _pipeline_fixture_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgmwcp import fixtures
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
+    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
+    return pipe.run(corpus)["nodes"]
+
+
+_SUITES = [_relational, _textops, _dedup, _similarity, _multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for suite in _SUITES:
+        out.update(suite.QUERIES)
+    # non-SQL-expressible pipeline ops (rows-only checks)
+    out["pipeline_fixture_triples"] = _pipeline_fixture_triples
+    out["pipeline_fixture_nodes"] = _pipeline_fixture_nodes
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for suite in _SUITES:
+        out.update(suite.ORACLES)
+    return out

@@ -1,0 +1,265 @@
+"""Deduplication operators over the ``documents`` table — exact, MinHash-LSH,
+SimHash, n-gram Jaccard.  Engine-portable hashing (md5) keeps every variant
+DuckDB-oracle-checkable: Spark's murmur ``hash()`` would diverge from the
+oracle, md5 hex strings are identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- exact dedup (hash-groupBy) ------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("content_md5", F.md5(F.encode(F.col("text"), "utf-8")))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# -- shingles helper -------------------------------------------------------------
+
+# word 3-gram shingles as a Column expression (empty array when < 3 tokens)
+_SHINGLES = r"""
+CASE WHEN size(filter(split(lower(text), '\\s+'), x -> x != '')) < 3
+     THEN CAST(array() AS ARRAY<STRING>)
+     ELSE transform(
+        sequence(0, size(filter(split(lower(text), '\\s+'), x -> x != '')) - 3),
+        i -> concat_ws(' ',
+             filter(split(lower(text), '\\s+'), x -> x != '')[i],
+             filter(split(lower(text), '\\s+'), x -> x != '')[i+1],
+             filter(split(lower(text), '\\s+'), x -> x != '')[i+2]))
+END
+"""
+
+_SQL_SHINGLES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS shingles
+  FROM toks
+)
+"""
+
+
+# -- MinHash + LSH banding -------------------------------------------------------
+# signature: per seed s, min over shingles of md5(s || '|' || shingle) — a
+# valid min-wise hash family; band key = concat of 2 signature halves.
+
+_SEEDS = ["s1", "s2", "s3", "s4"]
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.encode(F.concat_ws("|", F.lit(s), F.col("shingle")), "utf-8")))
+        .alias(f"mh_{s}")
+        for s in _SEEDS
+    ]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    banded = sig.select(
+        "doc_id",
+        F.concat_ws("#", "mh_s1", "mh_s2").alias("band0"),
+        F.concat_ws("#", "mh_s3", "mh_s4").alias("band1"),
+    )
+    b0 = banded.select("doc_id", F.col("band0").alias("band_key"))
+    b1 = banded.select("doc_id", F.col("band1").alias("band_key"))
+    bands = b0.unionByName(b1)
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+SQL_DEDUP_MINHASH_LSH = _SQL_SHINGLES_CTE + """
+, exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), sig AS (
+  SELECT doc_id,
+         min(md5('s1' || '|' || shingle)) AS mh_s1,
+         min(md5('s2' || '|' || shingle)) AS mh_s2,
+         min(md5('s3' || '|' || shingle)) AS mh_s3,
+         min(md5('s4' || '|' || shingle)) AS mh_s4
+  FROM exploded GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, mh_s1 || '#' || mh_s2 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, mh_s3 || '#' || mh_s4 AS band_key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# -- SimHash ----------------------------------------------------------------------
+# 16-bit simhash over tokens; bit b set when the +1/-1 vote over token-hash
+# bit b is positive.  Token hash = first 16 bits of md5 (portable).
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "utf-8")), 1, 4), 16, 10).cast("long")
+    hashed = toks.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(16):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else (simhash + bit)
+    return voted.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 4))::BIGINT AS h
+  FROM toks
+), voted AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM voted
+""".format(
+    votes=",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    ),
+    bits=" + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    ),
+)
+
+
+# -- n-gram Jaccard on LSH candidates ------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.array_distinct(F.expr(_SHINGLES)).alias("shingles"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # candidates: pairs sharing the min-md5 shingle (1-band minhash blocking)
+    minsig = exploded.groupBy("doc_id").agg(
+        F.min(F.md5(F.encode("shingle", "utf-8"))).alias("sig")
+    )
+    cand = (
+        minsig.alias("a").join(minsig.alias("b"), "sig")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    inter = (
+        cand.join(exploded.alias("ea"), F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            exploded.alias("eb"),
+            (F.col("doc_b") == F.col("eb.doc_id"))
+            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return sized.filter(F.col("jaccard") >= 0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = _SQL_SHINGLES_CTE + """
+, dedup_sh AS (
+  SELECT doc_id, list_distinct(shingles) AS shingles FROM shingled
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM dedup_sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM dedup_sh
+), minsig AS (
+  SELECT doc_id, min(md5(shingle)) AS sig FROM exploded GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM minsig a JOIN minsig b USING (sig)
+  WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN exploded ea ON doc_a = ea.doc_id
+  JOIN exploded eb ON doc_b = eb.doc_id AND ea.shingle = eb.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+}

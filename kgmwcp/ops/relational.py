@@ -1,0 +1,470 @@
+"""Relational operator suite (SURVEY.md §2.4 R1-R18) over the TPC-H-ish
+synthetic tables, each with a DuckDB-oracle SQL twin.
+
+Every query aliases computed columns identically in Spark and SQL so the
+driver's order-insensitive value-hash compare lines up.  Float aggregates
+are rounded (4 dp) on both sides to absorb summation-order noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# R1 dedup_mentions — Report.add equality-dedupe (mwcp/report.py:786-791)
+# --------------------------------------------------------------------------
+
+def q_dedup_mentions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_returnflag").dropDuplicates(
+        ["l_orderkey", "l_partkey", "l_returnflag"]
+    )
+
+
+SQL_DEDUP_MENTIONS = """
+SELECT DISTINCT l_orderkey, l_partkey, l_returnflag FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# R2 dedup_iter — nested-element flatten + cross-set dedupe
+# (mwcp/report.py:925-975): two projections unioned then deduped
+# --------------------------------------------------------------------------
+
+def q_dedup_iter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    top = ev.select(F.col("user_id").alias("k"), F.col("event_type").alias("v"))
+    nested = ev.select(F.col("user_id").alias("k"),
+                       F.upper("event_type").alias("v"))
+    return top.unionByName(nested).dropDuplicates(["k", "v"])
+
+
+SQL_DEDUP_ITER = """
+SELECT DISTINCT k, v FROM (
+  SELECT user_id AS k, event_type AS v FROM events
+  UNION ALL
+  SELECT user_id AS k, upper(event_type) AS v FROM events
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# R3 groupby_report — per-source metadata grouping (mwcp/report.py:163,554-561)
+# --------------------------------------------------------------------------
+
+def q_groupby_report(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+    )
+
+
+SQL_GROUPBY_REPORT = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_total,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# R4 groupby_type_tables — per-type tables (mwcp/report_writers.py:237-255)
+# --------------------------------------------------------------------------
+
+def q_groupby_type_tables(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_GROUPBY_TYPE_TABLES = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# R5 entity_canonicalize — keep richest serialization per id
+# (mwcp/stix/report_writer.py:142-150): arg-max by (length, value)
+# --------------------------------------------------------------------------
+
+def q_entity_canonicalize(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    best = F.max(F.struct(F.length("p_name").alias("l"), F.col("p_name").alias("v")))
+    return part.groupBy("p_brand").agg(
+        best.getField("v").alias("canonical_name"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+SQL_ENTITY_CANONICALIZE = """
+SELECT p_brand, canonical_name, n_parts FROM (
+  SELECT p_brand, p_name AS canonical_name,
+         count(*) OVER (PARTITION BY p_brand) AS n_parts,
+         row_number() OVER (
+           PARTITION BY p_brand ORDER BY length(p_name) DESC, p_name DESC
+         ) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# R6 note_consolidate — merge identical content, union refs
+# (mwcp/stix/report_writer.py:107-132)
+# --------------------------------------------------------------------------
+
+def q_note_consolidate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list(F.col("user_id").cast("string")))),
+            ",",
+        ).alias("refs")
+    )
+
+
+SQL_NOTE_CONSOLIDATE = """
+SELECT event_type,
+       string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                  ORDER BY CAST(user_id AS VARCHAR)) AS refs
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# R7 file_tree — parent/child traversal as joins (mwcp/file_object.py:229-249)
+# --------------------------------------------------------------------------
+
+def q_file_tree(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_FILE_TREE = """
+SELECT n_name, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# R8 parsed_files_antijoin — already-parsed skip (mwcp/dispatcher.py:285-294)
+# --------------------------------------------------------------------------
+
+def q_parsed_files_antijoin(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_PARSED_FILES_ANTIJOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# R9 kb_join — broadcast hash join of samples x small knowledge table
+# (mwcp/report.py:155-157)
+# --------------------------------------------------------------------------
+
+def q_kb_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_KB_JOIN = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# R10 rule_route — ordered first-match ranking window
+# (mwcp/dispatcher.py:297-312)
+# --------------------------------------------------------------------------
+
+def q_rule_route(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").asc(), F.col("l_partkey").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+SQL_RULE_ROUTE = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_partkey ASC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# R11 greedy_route — greedy mode keeps every matching rule
+# (mwcp/dispatcher.py:97-99,311-312)
+# --------------------------------------------------------------------------
+
+def q_greedy_route(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_size") >= 40)),
+                li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", "l_partkey", "p_size")
+    )
+
+
+SQL_GREEDY_ROUTE = """
+SELECT l_orderkey, l_partkey, p_size
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 40
+"""
+
+
+# --------------------------------------------------------------------------
+# R12 legacy_pivot — per-type value pivot (mwcp/report.py:271-509)
+# (conditional aggregation, not DataFrame.pivot, so the SQL twin is exact)
+# --------------------------------------------------------------------------
+
+def q_legacy_pivot(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
+SQL_LEGACY_PIVOT = """
+SELECT o_custkey,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# R13 stats_topk — top-k + central stats (mwcp/cli.py:510-595)
+# --------------------------------------------------------------------------
+
+def q_stats_topk(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(10)
+        .select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+SQL_STATS_TOPK = """
+SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_stats_percentile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_STATS_PERCENTILE = """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS median_price,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# R14 union_reports — multi-input concat (mwcp/cli.py:410-456)
+# --------------------------------------------------------------------------
+
+def q_union_reports(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_totalprice") < 1000).select(
+        "o_orderkey", F.lit("low").alias("bucket_name"))
+    late = orders.filter(F.col("o_totalprice") >= 1000).select(
+        "o_orderkey", F.lit("high").alias("bucket_name"))
+    return early.unionByName(late).groupBy("bucket_name").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+SQL_UNION_REPORTS = """
+SELECT bucket_name, count(*) AS n FROM (
+  SELECT o_orderkey, 'low' AS bucket_name FROM orders WHERE o_totalprice < 1000
+  UNION ALL
+  SELECT o_orderkey, 'high' AS bucket_name FROM orders WHERE o_totalprice >= 1000
+) GROUP BY bucket_name
+"""
+
+
+# --------------------------------------------------------------------------
+# R15 split_strings_report — complementary filters (mwcp/report.py:528-533)
+# --------------------------------------------------------------------------
+
+def q_split_strings_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    strings = ev.filter(F.col("event_type") == "click")
+    rest = ev.filter(F.col("event_type") != "click")
+    return (
+        strings.select(F.lit("strings").alias("report"), "event_id")
+        .unionByName(rest.select(F.lit("main").alias("report"), "event_id"))
+        .groupBy("report")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_SPLIT_STRINGS_REPORT = """
+SELECT report, count(*) AS n FROM (
+  SELECT 'strings' AS report, event_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'main' AS report, event_id FROM events WHERE event_type <> 'click'
+) GROUP BY report
+"""
+
+
+# --------------------------------------------------------------------------
+# R17 skew_salt — salted two-phase aggregation == plain GROUP BY
+# --------------------------------------------------------------------------
+
+def q_skew_salt(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("q"), 4).alias("sum_qty"),
+        F.sum("c").alias("n"),
+    )
+
+
+SQL_SKEW_SALT = """
+SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# R18 repartition_controls — explicit repartition before a wide stage
+# (result-identical to the plain aggregate; validates plan controls)
+# --------------------------------------------------------------------------
+
+def q_repartition_controls(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(8, "l_returnflag", "l_linestatus")
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_REPARTITION_CONTROLS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES = {
+    "dedup_mentions": q_dedup_mentions,
+    "dedup_iter": q_dedup_iter,
+    "groupby_report": q_groupby_report,
+    "groupby_type_tables": q_groupby_type_tables,
+    "entity_canonicalize": q_entity_canonicalize,
+    "note_consolidate": q_note_consolidate,
+    "file_tree": q_file_tree,
+    "parsed_files_antijoin": q_parsed_files_antijoin,
+    "kb_join": q_kb_join,
+    "rule_route": q_rule_route,
+    "greedy_route": q_greedy_route,
+    "legacy_pivot": q_legacy_pivot,
+    "stats_topk": q_stats_topk,
+    "stats_percentile": q_stats_percentile,
+    "union_reports": q_union_reports,
+    "split_strings_report": q_split_strings_report,
+    "skew_salt": q_skew_salt,
+    "repartition_controls": q_repartition_controls,
+}
+
+ORACLES = {
+    "dedup_mentions": SQL_DEDUP_MENTIONS,
+    "dedup_iter": SQL_DEDUP_ITER,
+    "groupby_report": SQL_GROUPBY_REPORT,
+    "groupby_type_tables": SQL_GROUPBY_TYPE_TABLES,
+    "entity_canonicalize": SQL_ENTITY_CANONICALIZE,
+    "note_consolidate": SQL_NOTE_CONSOLIDATE,
+    "file_tree": SQL_FILE_TREE,
+    "parsed_files_antijoin": SQL_PARSED_FILES_ANTIJOIN,
+    "kb_join": SQL_KB_JOIN,
+    "rule_route": SQL_RULE_ROUTE,
+    "greedy_route": SQL_GREEDY_ROUTE,
+    "legacy_pivot": SQL_LEGACY_PIVOT,
+    "stats_topk": SQL_STATS_TOPK,
+    "stats_percentile": SQL_STATS_PERCENTILE,
+    "union_reports": SQL_UNION_REPORTS,
+    "split_strings_report": SQL_SPLIT_STRINGS_REPORT,
+    "skew_salt": SQL_SKEW_SALT,
+    "repartition_controls": SQL_REPARTITION_CONTROLS,
+}

@@ -1,0 +1,234 @@
+"""Text-analysis operators over the ``documents`` table — language ID,
+quality scoring, token counting, fingerprinting (training-data pipeline
+primitives).  All pure Column expressions with DuckDB-oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_TOKENS = r"""filter(split(text, '\\s+'), x -> x != '')"""
+
+# -- token stats -------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(_TOKENS)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(
+            F.length(F.array_join(toks, "")) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_measured,
+       round(length(array_to_string(toks, '')) / greatest(len(toks), 1), 6)
+         AS avg_token_len
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+# -- language ID (n-gram/stopword heuristic) ----------------------------------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|les|des|est)\b",
+}
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cols = [
+        F.regexp_count(F.lower("text"), F.lit(rx)).alias(f"score_{lang}")
+        for lang, rx in _LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", *cols)
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANG_MARKERS])
+    guess = F.lit("und")
+    # deterministic priority order on ties: en > es > de > fr
+    for lang in reversed(list(_LANG_MARKERS)):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return scored.withColumn("lang_guess", guess)
+
+
+SQL_TEXT_LANG_ID = r"""
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE
+         WHEN score_en = best AND best > 0 THEN 'en'
+         WHEN score_es = best AND best > 0 THEN 'es'
+         WHEN score_de = best AND best > 0 THEN 'de'
+         WHEN score_fr = best AND best > 0 THEN 'fr'
+         ELSE 'und'
+       END AS lang_guess
+FROM (
+  SELECT doc_id, score_en, score_es, score_de, score_fr,
+         greatest(score_en, score_es, score_de, score_fr) AS best
+  FROM (
+    SELECT doc_id,
+           length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS score_en,
+           length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS score_es,
+           length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS score_de,
+           length(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS score_fr
+    FROM documents
+  )
+)
+"""
+
+
+# -- quality scoring -----------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(_TOKENS)
+    n_tokens = F.size(toks)
+    stop = F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|and|of|to)\b"))
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        F.round(stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+        (
+            (F.length("text") >= 40)
+            & (n_tokens >= 8)
+            & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len(toks) AS n_tokens,
+       round(stop / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(punct / greatest(length(text), 1), 6) AS punct_ratio,
+       (length(text) >= 40 AND len(toks) >= 8
+        AND punct / greatest(length(text), 1) < 0.2) AS passes_quality
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         length(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b')) AS stop,
+         length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct
+  FROM documents
+)
+"""
+
+
+# -- fingerprinting ------------------------------------------------------------
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    fp = F.md5(F.encode(normalized, "utf-8"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("fp_bucket"),
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 4) AS fp_bucket
+FROM documents
+"""
+
+
+# -- keyword mention extraction (the documents-table analogue of the IOC
+#    regex extract stage: explode + denylist + distinct, SURVEY.md T1) -------
+
+_KEYWORDS_RX = r"\b(spark|join|merge|hash|scan|window|stream)\b"
+
+
+def q_kg_token_mentions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "scan")  # denylist analogue
+        .dropDuplicates(["doc_id", "token"])
+    )
+
+
+SQL_KG_TOKEN_MENTIONS = r"""
+SELECT DISTINCT doc_id, token FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+                '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+  FROM documents
+) WHERE token <> 'scan'
+"""
+
+
+# -- entity linking over token mentions (nodes analogue, SURVEY.md R5) --------
+
+def q_kg_entity_link_docs(spark, sf_dir):
+    mentions = q_kg_token_mentions(spark, sf_dir)
+    return (
+        mentions
+        .withColumn(
+            "entity_id",
+            F.md5(F.encode(F.concat_ws("//", F.lit("token"), F.col("token")), "utf-8")),
+        )
+        .groupBy("entity_id", "token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_KG_ENTITY_LINK_DOCS = r"""
+SELECT md5('token//' || token) AS entity_id, token, count(*) AS n_docs
+FROM (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+) GROUP BY token
+"""
+
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "kg_token_mentions": q_kg_token_mentions,
+    "kg_entity_link_docs": q_kg_entity_link_docs,
+}
+
+ORACLES = {
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "kg_token_mentions": SQL_KG_TOKEN_MENTIONS,
+    "kg_entity_link_docs": SQL_KG_ENTITY_LINK_DOCS,
+}

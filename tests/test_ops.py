@@ -1,0 +1,86 @@
+"""Oracle checks replicating the driver's compare: every queries() entry
+with an oracle_sql() twin must match DuckDB on row count, column names,
+and order-insensitive values (at sf0.001 for CI speed; the driver runs
+sf0.01 — the suite is scale-free)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("KGMWCP_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 4)
+    if isinstance(value, bool):
+        return bool(value)
+    try:
+        import decimal
+
+        if isinstance(value, decimal.Decimal):
+            return round(float(value), 4)
+    except ImportError:  # pragma: no cover
+        pass
+    return value
+
+
+def _rowset(rows, colnames):
+    return sorted(
+        tuple(_normalize(v) for v in row) for row in rows
+    ), list(colnames)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_set, spark_cols = _rowset(spark_rows, df.columns)
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_set, duck_cols = _rowset(res.fetchall(), duck_cols)
+
+    assert [c.lower() for c in spark_cols] == [c.lower() for c in duck_cols], (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_set) == len(duck_set), (
+        f"{name}: row count {len(spark_set)} vs {len(duck_set)}"
+    )
+    assert spark_set == duck_set, f"{name}: value mismatch"
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"subj", "pred", "obj"}
