@@ -1,0 +1,172 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The KG pipeline bench runs the full extract+link flow over the fixture
+corpus replicated Spark-side to ~REPLICAS x base rows; throughput numbers
+(samples/sec, triples/sec) are included alongside the per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+HEADLINE_OPS = [
+    "dedup_mentions",
+    "groupby_report",
+    "kb_join",
+    "rule_route",
+    "skew_salt",
+    "stats_percentile",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "ann_topk_bruteforce",
+    "ann_ivf",
+    "multimodal_meta",
+    "kg_entity_link_docs",
+]
+
+
+def bench_corpus(spark, replicas: int):
+    """Fixture corpus replicated Spark-side (cheap driver, heavy executors)."""
+    from kgmwcp import fixtures
+
+    base = fixtures.corpus_df(spark, replication=20, hot_rows=40)
+    reps = spark.range(replicas).select(F.col("id").alias("replica"))
+    return (
+        base.crossJoin(reps)
+        .withColumn("path", F.concat_ws("/", F.col("replica").cast("string"), "path"))
+        # text rows get replica-unique content (distinct sha256 per replica);
+        # binary formats must stay byte-identical to keep parsing
+        .withColumn(
+            "content",
+            F.when(
+                F.col("lang") == "binary-b64", F.col("content")
+            ).otherwise(
+                F.concat("content", F.lit("\n# r"), F.col("replica").cast("string"))
+            ),
+        )
+        .drop("replica")
+    )
+
+
+def pad_text_rows(corpus, lines: int = 600):
+    """Pad text rows to ~28 KB with deterministic scannable filler —
+    fixture payloads are ~1 KB which is unrealistically small for malware
+    samples; regex-scan work per row should dominate harness overhead."""
+    filler = F.concat_ws(
+        "\n",
+        F.array_repeat(
+            F.concat(F.lit("var data_"), F.col("path"),
+                     F.lit(" = 'AAAA0123456789abcdefghijklmnopqrstuvwxyz';")),
+            lines,
+        ),
+    )
+    return corpus.withColumn(
+        "content",
+        F.when(F.col("lang") == "binary-b64", F.col("content"))
+        .otherwise(F.concat("content", F.lit("\n"), filler)),
+    )
+
+
+def run_pipeline_bench(spark, replicas: int) -> dict:
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pipe = Pipeline(PipelineConfig(
+        n_buckets=256,
+        extract_partitions=cpus * 3,
+        knowledge_base={"secret": "hello"},
+    ))
+    corpus = bench_corpus(spark, replicas).cache()
+    n_samples = corpus.count()
+
+    # warm the full python worker pool (sample touches every partition)
+    pipe.records(corpus.sample(0.02, seed=7)).count()
+
+    t0 = time.time()
+    records = pipe.records(corpus)
+    records.cache()
+    records.count()
+    t_extract = time.time() - t0
+
+    t1 = time.time()
+    tables = pipe.tables_from_records(records)
+    n_triples = tables["triples"].count()
+    n_nodes = tables["nodes"].count()
+    n_edges = tables["edges"].count()
+    t_link = time.time() - t1
+
+    records.unpersist()
+    corpus.unpersist()
+    total = t_extract + t_link
+    return {
+        "n_samples": n_samples,
+        "n_triples": n_triples,
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "extract_sec": round(t_extract, 3),
+        "link_sec": round(t_link, 3),
+        "total_sec": round(total, 3),
+        "samples_per_sec": round(n_samples / t_extract, 1),
+        "triples_per_sec": round(n_triples / total, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("KGMWCP_BENCH_REPLICAS", "40"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    from kgmwcp.session import get_spark
+
+    spark = get_spark("kgmwcp-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+
+    import __spark_entry__ as entry_mod
+
+    all_queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/python-worker pools once so per-query numbers are clean
+    spark.range(1000).select(F.sum("id")).collect()
+
+    for name in HEADLINE_OPS:
+        fn = all_queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pipeline_stats = run_pipeline_bench(spark, replicas)
+    timings["kg_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline": pipeline_stats,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
