@@ -141,6 +141,8 @@ def main() -> None:
 
     results = {8: [], 32: []}
     round_effs = []
+    ctrl_effs = []
+    controls = []
     for _ in range(rounds):
         pair = {}
         for cpus in (8, 32):  # both levels adjacent in time = same noise window
@@ -150,14 +152,23 @@ def main() -> None:
         round_effs.append(
             (pair[32]["samples_per_sec"] / pair[8]["samples_per_sec"]) / 4
         )
-    control = run_control()
+        # machine control inside the same window: the extraction engine
+        # under plain multiprocessing, no Spark — bounds what the shared VM
+        # (CPU steal, all-core clock drop) allows in this window
+        control = run_control()
+        controls.append(control)
+        ctrl_effs.append((control["32"] / control["8"]) / 4)
 
     best8 = max(results[8], key=lambda r: r["samples_per_sec"])
     best32 = max(results[32], key=lambda r: r["samples_per_sec"])
     # per-round pairing: host-noise windows (CPU steal bursts) hit both
     # levels of a round equally; median round is the robust estimate
     eff = statistics.median(round_effs)
-    ctrl_eff = (control["32"] / control["8"]) / 4
+    ctrl_eff = statistics.median(ctrl_effs)
+    control = controls[ctrl_effs.index(ctrl_eff)] if ctrl_eff in ctrl_effs else controls[0]
+    # normalized: how much scaling the Spark harness preserves of what the
+    # machine itself offered in the same windows
+    norm_eff = eff / ctrl_eff if ctrl_eff else float("nan")
 
     def row(r):
         return (f"| local[{r['cpus']}] | {r['n_samples']} | {r['extract_sec']} "
@@ -178,10 +189,16 @@ rounds to equalize host noise; throughput = best round per level.
 **Scaling efficiency (extract throughput, median of per-round pairs): {eff:.3f}**
 (target >= 0.8; per-round pairs: {[round(e, 3) for e in round_effs]})
 
-Control — the same extraction engine under plain multiprocessing (no Spark),
-8 vs 32 pinned processes: {control['8']} -> {control['32']} rows/s,
-efficiency {ctrl_eff:.3f}.  This bounds what the shared VM itself allows
-(CPU steal up to ~20% observed; sustained all-core load drops per-core clock).
+Machine control (same windows) — the extraction engine under plain
+multiprocessing, no Spark, 8 vs 32 pinned processes:
+median efficiency {ctrl_eff:.3f} (per round: {[round(e, 3) for e in ctrl_effs]};
+example rates {control['8']} -> {control['32']} rows/s).  This bounds what the
+shared VM allows per window (CPU steal up to ~20% observed; sustained
+all-core load drops per-core clock).
+
+**Normalized efficiency (Spark / machine control): {norm_eff:.3f}** — the
+fraction of the machine's own 8->32 scaling that the Spark pipeline
+preserves; ~1.0 means the harness adds no scaling penalty of its own.
 
 Tuning that got here (measured, see kgmwcp/session.py):
 - ZGC instead of G1 (G1 GCLocker allocation storms under concurrent Arrow
@@ -197,6 +214,9 @@ Tuning that got here (measured, see kgmwcp/session.py):
     print(json.dumps({
         "efficiency": round(eff, 3),
         "control_efficiency": round(ctrl_eff, 3),
+        "normalized_efficiency": round(norm_eff, 3),
+        "round_effs": [round(e, 3) for e in round_effs],
+        "ctrl_effs": [round(e, 3) for e in ctrl_effs],
         "best8": best8, "best32": best32,
     }))
 
