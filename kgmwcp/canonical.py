@@ -422,6 +422,98 @@ class FileElement(Element):
         self.data = None
 
 
+class RSAPublicKey(Element):
+    """mwcp/metadata.py:2484-2489 — unbounded ints serialize as JSON numbers."""
+
+    FIELDS = ("public_exponent", "modulus")
+    TYPE = "rsa_public_key"
+
+    def __init__(self, public_exponent=None, modulus=None):
+        super().__init__()
+        self.public_exponent = public_exponent
+        self.modulus = modulus
+
+
+class RSAPrivateKey(Element):
+    """mwcp/metadata.py:2320-2340 field set (PKCS#1 components)."""
+
+    FIELDS = ("public_exponent", "modulus", "private_exponent", "p", "q",
+              "d_mod_p1", "d_mod_q1", "q_inv_mod_p")
+    TYPE = "rsa_private_key"
+
+    def __init__(self, public_exponent=None, modulus=None, private_exponent=None,
+                 p=None, q=None, d_mod_p1=None, d_mod_q1=None, q_inv_mod_p=None):
+        super().__init__()
+        self.public_exponent = public_exponent
+        self.modulus = modulus
+        self.private_exponent = private_exponent
+        self.p = p
+        self.q = q
+        self.d_mod_p1 = d_mod_p1
+        self.d_mod_q1 = d_mod_q1
+        self.q_inv_mod_p = q_inv_mod_p
+
+
+_SHA1_RE = re.compile(r"[0-9a-fA-F]{40}")
+
+
+class SSLCertSHA1(Element):
+    """mwcp/metadata.py:2730-2748."""
+
+    FIELDS = ("value",)
+    TYPE = "ssl_cert_sha1"
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+        self.validate()
+
+    def validate(self) -> None:
+        if not _SHA1_RE.match(self.value or ""):
+            raise ValidationError(f"Invalid SHA1 hash found: {self.value!r}")
+
+
+class Credential(Element):
+    """mwcp/metadata.py:740-800 (username/password pair)."""
+
+    FIELDS = ("username", "password")
+
+    def __init__(self, username=None, password=None):
+        super().__init__()
+        self.username = username
+        self.password = password
+
+
+class UserAgent(Element):
+    """mwcp/metadata.py:2752-2760."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class Pipe(Element):
+    """mwcp/metadata.py:2042-2055."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class Event(Element):
+    """mwcp/metadata.py:1572-1588."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
 def canonical_obj(element: Element) -> str:
     """Triple ``obj`` string for an element."""
     return element.canonical()

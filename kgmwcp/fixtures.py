@@ -75,6 +75,81 @@ def _qb_payload(plain: bytes) -> bytes:
     return bytes(b ^ 0xB3 for b in plain)
 
 
+# -- deterministic X.509 / PKCS#1 fixtures (kgmwcp/engine/der.py encoder) -----
+
+# fixed RSA parameters — arbitrary deterministic big ints; the extractors
+# never validate primality, only parse structure
+CERT_MODULUS = int(hashlib.sha256(b"kgmwcp-cert-modulus").hexdigest(), 16) | (1 << 511) | 1
+CERT_EXPONENT = 65537
+KEY_P = int(hashlib.sha256(b"kgmwcp-key-p").hexdigest()[:32], 16) | (1 << 127) | 1
+KEY_Q = int(hashlib.sha256(b"kgmwcp-key-q").hexdigest()[:32], 16) | (1 << 127) | 1
+KEY_N = KEY_P * KEY_Q
+KEY_D = int(hashlib.sha256(b"kgmwcp-key-d").hexdigest(), 16)
+CERT_SERIAL = 0x1DEFACE
+CERT_NOT_BEFORE = "200102030405Z"
+CERT_NOT_AFTER = "300102030405Z"
+
+
+def cert_der() -> bytes:
+    from kgmwcp.engine import der
+
+    def rdn(oid: str, value: str) -> bytes:
+        return der.encode_set(der.encode_sequence(
+            der.encode_oid(oid), der.encode_printable_string(value)))
+
+    rsa_oid = der.encode_sequence(der.encode_oid("1.2.840.113549.1.1.11"),
+                                  der.encode_null())
+    name = der.encode_sequence(rdn("2.5.4.3", "Evil CA"), rdn("2.5.4.10", "Evil Org"))
+    pubkey = der.encode_sequence(der.encode_integer(CERT_MODULUS),
+                                 der.encode_integer(CERT_EXPONENT))
+    spki = der.encode_sequence(
+        der.encode_sequence(der.encode_oid("1.2.840.113549.1.1.1"), der.encode_null()),
+        der.encode_bit_string(pubkey),
+    )
+    tbs = der.encode_sequence(
+        der.encode_context(0, der.encode_integer(2)),
+        der.encode_integer(CERT_SERIAL),
+        rsa_oid,
+        name,
+        der.encode_sequence(der.encode_utc_time(CERT_NOT_BEFORE),
+                            der.encode_utc_time(CERT_NOT_AFTER)),
+        name,  # self-signed: subject == issuer
+        spki,
+    )
+    return der.encode_sequence(tbs, rsa_oid, der.encode_bit_string(b"\x00" * 64))
+
+
+def privkey_der() -> bytes:
+    from kgmwcp.engine import der
+
+    return der.encode_sequence(
+        der.encode_integer(0),
+        der.encode_integer(KEY_N),
+        der.encode_integer(CERT_EXPONENT),
+        der.encode_integer(KEY_D),
+        der.encode_integer(KEY_P),
+        der.encode_integer(KEY_Q),
+        der.encode_integer(KEY_D % (KEY_P - 1)),
+        der.encode_integer(KEY_D % (KEY_Q - 1)),
+        der.encode_integer(pow(KEY_Q, -1, KEY_P)),
+    )
+
+
+def _pem(der_bytes: bytes, label: str) -> str:
+    body = base64.b64encode(der_bytes).decode("ascii")
+    lines = [body[i:i + 64] for i in range(0, len(body), 64)]
+    return (f"-----BEGIN {label}-----\n" + "\n".join(lines)
+            + f"\n-----END {label}-----\n")
+
+
+def cert_pem() -> str:
+    return _pem(cert_der(), "CERTIFICATE")
+
+
+def privkey_pem() -> str:
+    return _pem(privkey_der(), "RSA PRIVATE KEY")
+
+
 def _b64(data: bytes) -> str:
     return base64.b64encode(data).decode("ascii")
 
@@ -124,6 +199,8 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
             _b64(b"\xd0\xcf\x11\xe0" + f"decoy filler {i}".encode()))
         add("qb_xor", i, f"q{i}/sample.qbd", "binary-b64",
             _b64(_qb_payload((PDF_TEXT + v).encode())))
+        add("pem_cert", i, f"k{i}/cert.pem", "pem", cert_pem() + f"# {i}\n")
+        add("pem_privkey", i, f"k{i}/key.pem", "pem", privkey_pem() + f"# {i}\n")
         add("foo_any", i, f"f{i}/anything.txt", "text", FOO_TEXT + v, route="foo")
         add("unidentified", i, f"u{i}/blob.txt", "text", PLAIN_TEXT + v)
         # dup_pair: identical content, different repo/path -> same sha256

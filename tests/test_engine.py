@@ -238,3 +238,58 @@ class TestValidation:
         from kgmwcp import canonical as md
         with pytest.raises(md.ValidationError):
             md.Socket(address="x", port=70000)
+
+
+class TestRSA:
+    def test_certificate_extraction(self):
+        import hashlib
+        from kgmwcp import fixtures
+
+        data = fixtures.cert_pem().encode()
+        result = run(data, name="cert.pem")
+        trips = {pred: obj for _, pred, obj in
+                 ((s, p, json.loads(o)) for s, p, o in result.triples)}
+        assert result.files[0].description == "Digital Certificate (PEM)"
+        assert trips["rsa_public_key"] == {
+            "public_exponent": 65537,
+            "modulus": fixtures.CERT_MODULUS,
+            "tags": [],
+        }
+        assert trips["ssl_cert_sha1"] == {
+            "value": hashlib.sha1(fixtures.cert_der()).hexdigest(),
+            "tags": [],
+        }
+        others = {json.loads(o)["key"]: json.loads(o)["value"]
+                  for _, p, o in result.triples if p == "other"}
+        assert others["rsa_cert_serial"] == "0x1deface"
+        # reference RDN format keeps a trailing space per element (RSA.py:67)
+        assert others["rsa_cert_issuer"] == "CN=Evil CA , O=Evil Org "
+        assert others["rsa_cert_subject"] == "CN=Evil CA , O=Evil Org "
+        assert others["rsa_cert_valid_from"] == "2020-01-02 03:04:05"
+        assert others["rsa_cert_valid_to"] == "2030-01-02 03:04:05"
+
+    def test_private_key_extraction(self):
+        from kgmwcp import fixtures
+
+        data = fixtures.privkey_pem().encode()
+        result = run(data, name="key.pem")
+        assert result.files[0].description == "RSA Private Key"
+        keys = [json.loads(o) for _, p, o in result.triples if p == "rsa_private_key"]
+        assert keys == [{
+            "public_exponent": 65537,
+            "modulus": fixtures.KEY_N,
+            "private_exponent": fixtures.KEY_D,
+            "p": fixtures.KEY_P,
+            "q": fixtures.KEY_Q,
+            "d_mod_p1": fixtures.KEY_D % (fixtures.KEY_P - 1),
+            "d_mod_q1": fixtures.KEY_D % (fixtures.KEY_Q - 1),
+            "q_inv_mod_p": pow(fixtures.KEY_Q, -1, fixtures.KEY_P),
+            "tags": [],
+        }]
+
+    def test_non_printable_not_identified(self):
+        from kgmwcp import fixtures
+
+        data = fixtures.cert_pem().encode() + b"\x00\xff"
+        result = run(data, name="cert.pem")
+        assert not any(p == "rsa_public_key" for _, p, _ in result.triples)
