@@ -514,6 +514,346 @@ class Event(Element):
         self.value = value
 
 
+class Command(Element):
+    """Shell command (mwcp/metadata.py:707-737)."""
+
+    FIELDS = ("value", "cwd")
+
+    def __init__(self, value, cwd=None):
+        super().__init__()
+        self.value = value
+        self.cwd = cwd
+
+
+class Alphabet(Element):
+    """Generic baseXX alphabet (mwcp/metadata.py:645-675)."""
+
+    FIELDS = ("alphabet", "base")
+
+    def __init__(self, alphabet, base):
+        super().__init__()
+        self.alphabet = alphabet
+        self.base = base
+        self.validate()
+
+    def validate(self) -> None:
+        if self.alphabet and self.base:
+            if len(self.alphabet) not in (self.base, self.base + 1):
+                raise ValidationError(
+                    "Invalid alphabet provided: Length of alphabet must be "
+                    "size of base or base + 1 (if including the pad character)."
+                )
+
+
+class CryptoAddress(Element):
+    """Cryptocurrency address (mwcp/metadata.py:770-806)."""
+
+    FIELDS = ("address", "symbol")
+
+    def __init__(self, address, symbol=None):
+        super().__init__()
+        self.address = address
+        self.symbol = symbol
+
+
+class ScheduledTask(Element):
+    """Windows scheduled task (mwcp/metadata.py:823-950)."""
+
+    FIELDS = ("actions", "name", "description", "author", "credentials")
+
+    def __init__(self, actions=None, name=None, description=None, author=None,
+                 credentials=None):
+        super().__init__()
+        if actions is not None and not isinstance(actions, list):
+            actions = [actions]
+        if actions is not None:
+            actions = [Command(a) if isinstance(a, str) else a for a in actions]
+        self.actions = actions
+        self.name = name
+        self.description = description
+        self.author = author
+        self.credentials = credentials
+
+    @classmethod
+    def from_xml(cls, xml_data: str) -> "ScheduledTask":
+        """Task-Scheduler XML parse, matching mwcp/metadata.py:851-892."""
+        from xml.etree import ElementTree
+
+        xml_data = xml_data.strip()
+        xml_data = re.sub(' xmlns="[^"]+"', "", xml_data, count=1)
+        try:
+            root = ElementTree.fromstring(xml_data)
+        except ElementTree.ParseError as exc:
+            raise ValueError(f"Failed to parse XML data: {exc}")
+        if root.tag != "Task":
+            raise ValueError(f"Expected root tag to be 'Task', got '{root.tag}'")
+        description = author = None
+        registration = root.find("RegistrationInfo")
+        if registration is not None:
+            node = registration.find("Description")
+            description = node.text if node is not None else None
+            node = registration.find("Author")
+            author = node.text if node is not None else None
+        actions_meta = []
+        actions = root.find("Actions")
+        if actions is not None:
+            for action in actions.findall("Exec"):
+                command = action.find("Command")
+                if command is None:
+                    raise ValueError("Expected 'Command' tag.")
+                command = command.text
+                arguments = action.find("Arguments")
+                if arguments is not None:
+                    command += " " + arguments.text
+                cwd_node = action.find("WorkingDirectory")
+                cwd = cwd_node.text if cwd_node is not None else None
+                actions_meta.append(Command(command, cwd=cwd))
+        return cls(actions_meta, description=description, author=author)
+
+
+class UUIDElement(Element):
+    """128-bit identifier (mwcp/metadata.py:1613-1630); value normalized
+    through uuid.UUID and serialized as its canonical string."""
+
+    FIELDS = ("value",)
+    TYPE = "uuid"
+
+    def __init__(self, value):
+        super().__init__()
+        import uuid as _uuid
+
+        try:
+            if isinstance(value, str):
+                value = _uuid.UUID(value)
+            elif isinstance(value, bytes):
+                value = _uuid.UUID(bytes=value)
+            elif isinstance(value, int):
+                value = _uuid.UUID(int=value)
+            elif not isinstance(value, _uuid.UUID):
+                raise ValueError(f"Invalid UUID: {value}")
+        except Exception as exc:
+            raise ValidationError(f"Invalid UUID: {exc}")
+        self.value = str(value)
+
+
+class Interval(Element):
+    """Beacon interval seconds, float (mwcp/metadata.py:1678-1695)."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = float(value)
+
+
+class InjectionProcess(Element):
+    """mwcp/metadata.py:1654-1672."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class MissionID(Element):
+    """mwcp/metadata.py:2075-2092."""
+
+    FIELDS = ("value",)
+    TYPE = "mission_id"
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class Version(Element):
+    """mwcp/metadata.py:2769-2781."""
+
+    FIELDS = ("value",)
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+# Tests encodings in order by preference (mwcp/metadata.py:1744-1748).
+_TEST_ENCODINGS = ["ascii", "utf-32-be", "utf-32-le", "utf-16-be", "utf-16-le", "utf-8"]
+
+
+def _num_raw_bytes(string: str) -> int:
+    """Escaped-codepoint score used by encoding detection (mwcp/metadata.py:1791-1800)."""
+    count = 0
+    for char in string:
+        escaped = char.encode("unicode-escape")
+        count += escaped.startswith(b"\\x") + escaped.startswith(b"\\u") * 2
+    return count
+
+
+def detect_encoding(data: bytes) -> Optional[str]:
+    """Best-guess display encoding (mwcp/metadata.py:1802-1832 semantics)."""
+    if not data:
+        return None
+    best_score = len(data)
+    best_code_page = None
+    for code_page in _TEST_ENCODINGS:
+        try:
+            output = data.decode(code_page)
+        except UnicodeDecodeError:
+            continue
+        if not output.isprintable():
+            continue
+        score = _num_raw_bytes(output)
+        if not best_code_page or score < best_score:
+            best_score = score
+            best_code_page = code_page
+    return best_code_page
+
+
+class EncryptionKey(Element):
+    """Key material (mwcp/metadata.py:1737-1880); bytes fields -> base64."""
+
+    FIELDS = ("key", "algorithm", "mode", "iv", "secret", "key_derivation")
+
+    def __init__(self, key, algorithm=None, mode=None, iv=None, secret=None,
+                 key_derivation=None):
+        super().__init__()
+        if isinstance(key, str):
+            key = key.encode("utf-8")
+        self.key = key
+        self.algorithm = algorithm
+        self.mode = mode
+        self.iv = iv
+        self.secret = secret
+        self.key_derivation = key_derivation
+
+    def display_key(self) -> str:
+        """Presentation form: hex + detected-encoding context
+        (mwcp/metadata.py:1836-1842)."""
+        value = f"0x{self.key.hex()}"
+        encoding = detect_encoding(self.key)
+        if encoding:
+            value += f' ("{self.key.decode(encoding)}")'
+        return value
+
+
+class DecodedString2(DecodedString):
+    """DecodedString with optional encryption key (mwcp/metadata.py:1890-1915).
+
+    Kept as a subclass so the simple constructor in extractors stays cheap.
+    """
+
+    FIELDS = ("value", "encryption_key")
+    TYPE = "decoded_string"
+
+    def __init__(self, value, encryption_key: Optional[EncryptionKey] = None):
+        Element.__init__(self)
+        self.value = value
+        self.encryption_key = encryption_key
+
+
+_REGISTRY_HIVES = {
+    # canonical names with values from winreg.h (mwcp/metadata.py:2056-2079)
+    "HKEY_CLASSES_ROOT": 0x80000000,
+    "HKEY_CURRENT_USER": 0x80000001,
+    "HKEY_LOCAL_MACHINE": 0x80000002,
+    "HKEY_USERS": 0x80000003,
+    "HKEY_PERFORMANCE_DATA": 0x80000004,
+    "HKEY_CURRENT_CONFIG": 0x80000005,
+    "HKEY_DYN_DATA": 0x80000006,
+    "HKEY_CURRENT_USER_LOCAL_SETTINGS": 0x80000007,
+    "HKEY_PERFORMANCE_TEXT": 0x80000050,
+    "HKEY_PERFORMANCE_NLSTEXT": 0x80000060,
+}
+_REGISTRY_HIVE_ALIASES = {
+    "HKCR": "HKEY_CLASSES_ROOT", "HKCU": "HKEY_CURRENT_USER",
+    "HKLM": "HKEY_LOCAL_MACHINE", "HKU": "HKEY_USERS",
+    "HKPD": "HKEY_PERFORMANCE_DATA", "HKCC": "HKEY_CURRENT_CONFIG",
+    "HKDD": "HKEY_DYN_DATA", "HKCULS": "HKEY_CURRENT_USER_LOCAL_SETTINGS",
+    "HKPT": "HKEY_PERFORMANCE_TEXT", "HKPN": "HKEY_PERFORMANCE_NLSTEXT",
+}
+
+
+def _hive_name(name: str) -> Optional[str]:
+    name = name.upper()
+    if name in _REGISTRY_HIVES:
+        return name
+    return _REGISTRY_HIVE_ALIASES.get(name)
+
+
+class Registry(Element):
+    """Registry key/value/data with normalization (mwcp/metadata.py:2095-2260).
+
+    Enums serialize by NAME (hive -> "HKEY_LOCAL_MACHINE", data_type ->
+    "REG_SZ"), matching the reference's cattr enum hook.
+    """
+
+    FIELDS = ("hive", "subkey", "value", "data", "data_type")
+    TYPE = "registry"
+
+    def __init__(self, hive=None, subkey=None, value=None, data=None, data_type=None):
+        super().__init__()
+        self.hive = hive
+        self.subkey = subkey
+        self.value = value
+        self.data = data
+        self.data_type = data_type
+
+        # Pull out hive if it was included in subkey.
+        if not self.hive and self.subkey:
+            head, _, rest = self.subkey.partition("\\")
+            canonical = _hive_name(head)
+            if canonical:
+                self.hive = canonical
+                self.subkey = rest
+        elif self.hive:
+            canonical = _hive_name(str(self.hive))
+            if canonical is None:
+                raise ValidationError(f"Unknown registry hive: {self.hive}")
+            self.hive = canonical
+
+        if self.subkey:
+            self.subkey = self.subkey.strip("\\")
+
+        # Infer data_type from the python type of data.
+        if self.data_type is None and self.data is not None:
+            if isinstance(self.data, str):
+                self.data_type = "REG_MULTI_SZ" if self.data.count("\0") > 1 else "REG_SZ"
+            elif isinstance(self.data, list) and all(isinstance(e, str) for e in self.data):
+                self.data_type = "REG_MULTI_SZ"
+            elif isinstance(self.data, bytes):
+                self.data_type = "REG_BINARY"
+            elif isinstance(self.data, int):
+                self.data_type = "REG_DWORD" if self.data <= 0xFFFFFFFF else "REG_QWORD"
+
+        # MULTI_SZ given as one NUL-joined string -> split on NULs.
+        if self.data_type == "REG_MULTI_SZ" and isinstance(self.data, str) and "\0" in self.data:
+            if self.data.endswith("\0"):
+                self.data = self.data[:-1]
+            self.data = self.data.split("\0")
+
+        # Strip trailing NUL terminator on plain strings.
+        if self.data and self.data_type == "REG_SZ":
+            self.data = self.data.rstrip("\0")
+
+        if isinstance(self.data, int) and self.data < 0:
+            raise ValidationError(f"Integer data value must be positive. Got {self.data}")
+
+    @classmethod
+    def from_path(cls, path, data=None) -> "Registry":
+        """Last path segment is the value name (mwcp/metadata.py:2170-2180)."""
+        if isinstance(path, bytes):
+            path = path.decode("utf8")
+        subkey, _, value = path.rpartition("\\")
+        return cls(subkey=subkey or None, value=value or None, data=data)
+
+    @property
+    def key(self) -> Optional[str]:
+        if self.hive and self.subkey:
+            return f"{self.hive}\\{self.subkey}"
+        return self.subkey
+
+
 def canonical_obj(element: Element) -> str:
     """Triple ``obj`` string for an element."""
     return element.canonical()

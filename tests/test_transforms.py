@@ -1,0 +1,195 @@
+"""Unit tests for element normalization + codec transforms (T6-T15)."""
+
+import json
+
+import pytest
+
+from kgmwcp import canonical as md
+from kgmwcp.engine import basecodec, posh
+
+
+class TestRegistry:
+    def test_hive_split_from_subkey(self):
+        reg = md.Registry(subkey="HKLM\\Software\\Micro\\Run", value="Updater",
+                          data="c:\\update.exe")
+        assert reg.hive == "HKEY_LOCAL_MACHINE"
+        assert reg.subkey == "Software\\Micro\\Run"
+        assert reg.data_type == "REG_SZ"
+        assert reg.key == "HKEY_LOCAL_MACHINE\\Software\\Micro\\Run"
+
+    def test_multi_sz_split_on_nuls(self):
+        reg = md.Registry(subkey="x", data="a\0b\0c\0")
+        assert reg.data_type == "REG_MULTI_SZ"
+        assert reg.data == ["a", "b", "c"]
+
+    def test_sz_strips_terminator(self):
+        reg = md.Registry(subkey="x", data="hello\0")
+        assert reg.data == "hello"
+        assert reg.data_type == "REG_SZ"
+
+    def test_dword_vs_qword(self):
+        assert md.Registry(subkey="x", data=5).data_type == "REG_DWORD"
+        assert md.Registry(subkey="x", data=2**40).data_type == "REG_QWORD"
+        assert md.Registry(subkey="x", data=b"\x01").data_type == "REG_BINARY"
+
+    def test_from_path(self):
+        reg = md.Registry.from_path("HKCU\\Software\\Bad\\Run\\Updater", data=1)
+        assert reg.hive == "HKEY_CURRENT_USER"
+        assert reg.subkey == "Software\\Bad\\Run"
+        assert reg.value == "Updater"
+
+    def test_negative_int_rejected(self):
+        with pytest.raises(md.ValidationError):
+            md.Registry(subkey="x", data=-1)
+
+    def test_canonical_serialization(self):
+        reg = md.Registry(subkey="HKLM\\S", value="v", data="d")
+        payload = json.loads(reg.canonical())
+        assert payload["hive"] == "HKEY_LOCAL_MACHINE"
+        assert payload["data_type"] == "REG_SZ"
+
+
+class TestScheduledTask:
+    XML = """<?xml version="1.0"?>
+    <Task xmlns="http://schemas.microsoft.com/windows/2004/02/mit/task">
+      <RegistrationInfo>
+        <Author>Bad Guy</Author>
+        <Description>Totally legit task</Description>
+      </RegistrationInfo>
+      <Actions>
+        <Exec>
+          <Command>calc.exe</Command>
+          <Arguments>/x /y</Arguments>
+          <WorkingDirectory>C:\\Temp</WorkingDirectory>
+        </Exec>
+        <Exec><Command>notepad.exe</Command></Exec>
+      </Actions>
+    </Task>"""
+
+    def test_from_xml(self):
+        task = md.ScheduledTask.from_xml(self.XML)
+        assert task.author == "Bad Guy"
+        assert task.description == "Totally legit task"
+        assert [(a.value, a.cwd) for a in task.actions] == [
+            ("calc.exe /x /y", "C:\\Temp"), ("notepad.exe", None),
+        ]
+        # nested Commands flatten out as sub-elements
+        assert [e.type_name() for e in task.sub_elements()] == ["command", "command"]
+
+    def test_bad_root_rejected(self):
+        with pytest.raises(ValueError):
+            md.ScheduledTask.from_xml("<NotTask/>")
+
+
+class TestEncryptionKey:
+    def test_encoding_detection_ascii(self):
+        key = md.EncryptionKey(b"myrc4key", algorithm="rc4")
+        assert md.detect_encoding(key.key) == "ascii"
+        assert key.display_key() == '0x6d797263346b6579 ("myrc4key")'
+
+    def test_encoding_detection_utf16(self):
+        key = md.EncryptionKey("secret".encode("utf-16-le"))
+        assert md.detect_encoding(key.key) == "utf-16-le"
+
+    def test_binary_key_no_encoding(self):
+        # control chars fail the isprintable gate in every candidate encoding
+        assert md.detect_encoding(b"\x00") is None
+
+    def test_serialization_base64(self):
+        key = md.EncryptionKey(b"\xde\xad", algorithm="xor", iv=b"\x00\x01")
+        payload = json.loads(key.canonical())
+        assert payload["key"] == "3q0="
+        assert payload["iv"] == "AAE="
+        assert payload["algorithm"] == "xor"
+
+
+class TestMiscElements:
+    def test_uuid_normalized(self):
+        elem = md.UUIDElement("654E5CFF-817C-4E3D-8B01-47A6F45AE09A")
+        assert elem.value == "654e5cff-817c-4e3d-8b01-47a6f45ae09a"
+        with pytest.raises(md.ValidationError):
+            md.UUIDElement("not-a-uuid")
+
+    def test_interval_float(self):
+        assert json.loads(md.Interval(3).canonical())["value"] == 3.0
+
+    def test_alphabet_length_validated(self):
+        md.Alphabet("0123456789ABCDEF", 16)
+        with pytest.raises(md.ValidationError):
+            md.Alphabet("ABC", 16)
+
+    def test_decoded_string_with_key(self):
+        elem = md.DecodedString2("evil", md.EncryptionKey(b"k", algorithm="xor"))
+        payload = json.loads(elem.canonical())
+        assert payload["value"] == "evil"
+        assert payload["encryption_key"]["type"] == "encryption_key"
+        assert payload["encryption_key"]["key"] == "aw=="
+
+    def test_path_posix_autodetect(self):
+        assert md.PathElement("C:\\Windows\\a.exe").posix is False
+        assert md.PathElement("/usr/bin/ls").posix is True
+        assert md.PathElement("noseparator").posix is None
+
+
+class TestBaseCodec:
+    """Vectors from the reference's public doctests (custombase64.py:85-182)."""
+
+    CUSTOM64 = b"EFGHQRSTUVWefghijklmnopIJKLMNOPABCDqrstuvwxyXYZabcdz0123456789+/="
+    CUSTOM32 = "FGHIJQ345RSTUVWXYKLMABCDENOPZ267="
+    CUSTOM16 = "78BDE0123F459A6C"
+
+    def test_b64(self):
+        assert basecodec.encode("hello world") == b"aGVsbG8gd29ybGQ="
+        assert basecodec.encode("hello world", alphabet=self.CUSTOM64) == b"LSoXMS8BO29dMSj="
+        assert basecodec.decode("LSoXMS8BO29dMSj=", alphabet=self.CUSTOM64) == b"hello world"
+        # pad repair: truncated input still decodes
+        assert basecodec.decode("LSoXMS8BO29dMSj", alphabet=self.CUSTOM64) == b"hello world"
+
+    def test_b32(self):
+        assert basecodec.encode("hello world", base=32) == b"NBSWY3DPEB3W64TMMQ======"
+        assert basecodec.encode("hello world", base=32, alphabet=self.CUSTOM32) == b"VGLCEPIXJGPC6ZMUUY======"
+        assert basecodec.decode("VGLCEPIXJGPC6ZMUUY", base=32, alphabet=self.CUSTOM32) == b"hello world"
+
+    def test_b16(self):
+        assert basecodec.encode("hello world", base=16) == b"68656C6C6F20776F726C64"
+        assert basecodec.encode("hello world", base=16, alphabet=self.CUSTOM16) == b"131019191CB7221C2B191E"
+        assert basecodec.decode("131019191CB7221C2B191E", base=16, alphabet=self.CUSTOM16) == b"hello world"
+
+    def test_duplicate_alphabet_rejected(self):
+        with pytest.raises(ValueError):
+            basecodec.encode("x", alphabet=b"A" * 65)
+
+
+class TestPoshDeob:
+    def test_concat(self):
+        code = "$u = ('ht'+'tp://e'+'vil.com')"
+        out, strings = posh.deobfuscate(code)
+        assert "'http://evil.com'" in out
+        assert strings == ["http://evil.com"]
+
+    def test_format_operator(self):
+        code = '$c = ("{0}{1}" -f \'ca\',\'lc.exe\')'
+        out, strings = posh.deobfuscate(code)
+        assert "'calc.exe'" in out
+        assert "calc.exe" in strings
+
+    def test_replace_chain(self):
+        code = "('hxxp://bad.com'.replace('hxxp','http'))"
+        out, strings = posh.deobfuscate(code)
+        assert "'http://bad.com'" in out
+
+    def test_backtick_strip(self):
+        # `p is not a PS escape char -> backtick stripped; `t stays TAB
+        out, _ = posh.deobfuscate('("htt`p")')
+        assert "'http'" in out
+
+    def test_nested_fixpoint(self):
+        code = "(('h'+'xxp')+'://x.io').replace('xxp','ttp')"
+        out, strings = posh.deobfuscate(code)
+        assert "'http://x.io'" in out
+
+    def test_plain_code_untouched(self):
+        code = "Write-Host 'hello'"
+        out, strings = posh.deobfuscate(code)
+        assert out == code
+        assert strings == []
