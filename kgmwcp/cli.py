@@ -1,0 +1,106 @@
+"""Command-line entry point — the spark-submit launch path.
+
+    spark-submit --py-files kgmwcp.zip -m ... run_pipeline.py \
+        --input /data/documents --output /data/kg --buckets 4096
+
+or locally: ``python -m kgmwcp --input ... --output ...``.
+
+The module ships to executors as a zip (see ``package_pyfiles``); rule
+compilation happens lazily inside each python worker on first batch (the
+analogue of the reference's multiprocessing initializer,
+mwcp/utils/multi_proc.py:15-18).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import zipfile
+from typing import Optional
+
+__all__ = ["main", "package_pyfiles"]
+
+
+def package_pyfiles(out_path: str = "dist/kgmwcp.zip") -> str:
+    """Zip the package for spark-submit --py-files."""
+    root = pathlib.Path(__file__).resolve().parent.parent
+    out = pathlib.Path(out_path)
+    if not out.is_absolute():
+        out = root / out
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for path in sorted((root / "kgmwcp").rglob("*.py")):
+            zf.write(path, str(path.relative_to(root)))
+    return str(out)
+
+
+def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="kgmwcp", description="PySpark KG-construction pipeline (MWCP semantics)")
+    parser.add_argument("--input", required=True,
+                        help="parquet path of documents(repo,path,commit,lang,content[,route])")
+    parser.add_argument("--output", required=True, help="output directory for KG tables")
+    parser.add_argument("--master", default=None, help="spark master (default: local[*])")
+    parser.add_argument("--buckets", type=int, default=256,
+                        help="lineage bucket count (stable across runs)")
+    parser.add_argument("--extract-partitions", type=int, default=None,
+                        help="repartition width for the extract stage")
+    parser.add_argument("--knowledge-base", default="{}",
+                        help="JSON dict of external knowledge for parsers")
+    parser.add_argument("--parser", default=None,
+                        help="restrict routing to one parser group (default: auto)")
+    parser.add_argument("--no-resume", action="store_true",
+                        help="ignore existing checkpoint manifests")
+    parser.add_argument("--streaming", action="store_true",
+                        help="drain --input as a drop-folder via Structured Streaming")
+    return parser.parse_args(argv)
+
+
+def main(argv: Optional[list] = None, spark=None) -> dict:
+    args = _parse_args(argv)
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+    from kgmwcp.session import get_spark
+
+    owns_spark = spark is None
+    spark = spark or get_spark("kgmwcp", master=args.master)
+    config = PipelineConfig(
+        n_buckets=args.buckets,
+        extract_partitions=args.extract_partitions,
+        knowledge_base=json.loads(args.knowledge_base),
+    )
+    pipe = Pipeline(config)
+
+    try:
+        if args.streaming:
+            from kgmwcp.streaming.ingest import run_available_now
+
+            tables = run_available_now(spark, args.input, args.output, config)
+        else:
+            docs = spark.read.parquet(args.input)
+            if args.parser:
+                from pyspark.sql import functions as F
+
+                docs = docs.withColumn("route", F.lit(args.parser))
+            if args.no_resume:
+                import shutil
+
+                shutil.rmtree(args.output, ignore_errors=True)
+            tables = pipe.run_checkpointed(spark, docs, args.output)
+
+        summary = {}
+        for name in ("triples", "nodes", "edges", "reports"):
+            df = tables[name]
+            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+            summary[name] = spark.read.parquet(f"{args.output}/{name}").count()
+        metrics = Pipeline.metrics(tables["records"])
+        metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+        print(json.dumps({"output": args.output, "counts": summary}))
+        return summary
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()
