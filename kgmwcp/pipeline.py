@@ -61,7 +61,14 @@ class Pipeline:
 
     # -- full run ----------------------------------------------------------
     def run(self, docs: DataFrame) -> Dict[str, DataFrame]:
-        records = self.records(docs)
+        # Persist the extract-stage output: every KG table branches off it
+        # (triples, nodes twice, edges twice) and without a barrier each
+        # branch would re-run the Python extraction — verified via
+        # executedPlan (2x MapInArrow). The checkpointed path gets the same
+        # barrier for free from its parquet round-trip.
+        from pyspark.storagelevel import StorageLevel
+
+        records = self.records(docs).persist(StorageLevel.MEMORY_AND_DISK)
         return self.tables_from_records(records)
 
     def tables_from_records(self, records: DataFrame) -> Dict[str, DataFrame]:
