@@ -427,7 +427,29 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --------------------------------------------------------------------------
+# time-window rollup over the events table (the metrics-stage shape; the
+# streaming path reuses the same expression against readStream)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_hourly": q_events_hourly,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
     "groupby_report": q_groupby_report,
@@ -449,6 +471,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hourly": SQL_EVENTS_HOURLY,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,
     "groupby_report": SQL_GROUPBY_REPORT,

@@ -1,9 +1,17 @@
 """Stage 6b — per-root report JSON assembly (SURVEY.md R3, S10).
 
-Groups mentions by root sample and serializes a report document per root.
-Element order inside the report is the canonical (subj, pred, obj) sort —
-the reference compares reports order-insensitively anyway
-(mwcp/tests/test_parsers.py:308-312,364).
+Groups mentions by root sample and serializes one report document per
+root, shaped after the reference's report model (mwcp/metadata.py:
+2916-2943): ``input_file`` block + ``metadata`` list whose entries are
+the element payloads with the ``type`` discriminator injected first
+(mwcp/metadata.py:253-255).  The element entries are assembled by string
+surgery on the canonical ``obj`` JSON — pure Column expressions, no
+Python and no re-serialization drift.
+
+Entry order is the canonical sort; the reference compares reports
+order-insensitively anyway (mwcp/tests/test_parsers.py:308-312,364).
+Entries are deduped across the root's residual files, matching the
+merged report's cross-source flatten-dedupe (mwcp/report.py:925-975).
 """
 
 from __future__ import annotations
@@ -18,19 +26,16 @@ __all__ = ["reports_of"]
 
 def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
     """records -> (root_sha256, n_elements, report_json)."""
-    mentions = mentions_of(records).select(
-        "root_sha256", "subj", "pred", "obj", "repo", "path", "commit"
+    # '{"a":1}' -> '{"type":"<pred>","a":1}'
+    entry = F.concat(
+        F.lit('{"type":"'), F.col("pred"), F.lit('",'),
+        F.expr("substring(obj, 2)"),
     )
     grouped = (
-        mentions.groupBy("root_sha256")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("subj", "pred", "obj"))
-            ).alias("metadata"),
-            F.first("repo").alias("repo"),
-            F.first("path").alias("path"),
-            F.first("commit").alias("commit"),
-        )
+        mentions_of(records)
+        .select("root_sha256", entry.alias("entry"))
+        .groupBy("root_sha256")
+        .agg(F.array_sort(F.collect_set("entry")).alias("entries"))
     )
     roots = (
         files_of(records)
@@ -40,23 +45,36 @@ def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
             F.col("md5").alias("input_md5"),
             F.col("name").alias("input_name"),
             F.col("description").alias("input_description"),
+            "repo", "path", "commit", "parser",
         )
         .dropDuplicates(["root_sha256"])
     )
     joined = roots.join(grouped, "root_sha256", "left")
-    report_json = F.to_json(
+    entries = F.coalesce(F.col("entries"), F.array().cast("array<string>"))
+    input_file = F.to_json(
         F.struct(
-            F.col("root_sha256").alias("sha256"),
-            F.col("input_md5").alias("md5"),
+            F.lit("file").alias("type"),
             F.col("input_name").alias("name"),
             F.col("input_description").alias("description"),
-            F.lit(parser).alias("parser"),
-            F.coalesce(F.col("metadata"), F.array()).alias("metadata"),
+            F.col("input_md5").alias("md5"),
+            F.col("root_sha256").alias("sha256"),
+            F.col("repo").alias("repo"),
+            F.col("path").alias("file_path"),
+            F.col("commit").alias("commit"),
         ),
         {"ignoreNullFields": "false"},
     )
+    report_json = F.concat(
+        F.lit('{"type":"report","input_file":'), input_file,
+        F.lit(',"parser":'),
+        F.coalesce(
+            F.concat(F.lit('"'), F.coalesce(F.lit(parser), F.col("parser")), F.lit('"')),
+            F.lit("null"),
+        ),
+        F.lit(',"metadata":['), F.concat_ws(",", entries), F.lit("]}"),
+    )
     return joined.select(
         "root_sha256",
-        F.size(F.coalesce(F.col("metadata"), F.array())).alias("n_elements"),
+        F.size(entries).alias("n_elements"),
         report_json.alias("report_json"),
     )
