@@ -263,6 +263,106 @@ _QUARANTINE_FILE_HEADERS = [
 ]
 
 
+class McAfee(Rule):
+    """McAfee BUP quarantine: OLE container, streams XOR 0x6a
+    (Quarantined.py:17-67).  OLE parsing via our own CFB reader."""
+
+    DESCRIPTION = "McAfee Quarantined"
+    MINIMUM_OLE_SIZE = 1536
+
+    @classmethod
+    def identify(cls, f):
+        from kgmwcp.engine import cfb
+
+        return f.parent is None and (
+            len(f.data) > cls.MINIMUM_OLE_SIZE and cfb.is_cfb(f.data)
+        )
+
+    def run(self, f, ctx):
+        import configparser
+        import numpy as np
+        import ntpath
+
+        from kgmwcp.engine import cfb
+
+        def unxor(blob: bytes) -> bytes:
+            return np.bitwise_xor(
+                np.frombuffer(blob, dtype=np.uint8), np.uint8(0x6A)
+            ).tobytes()
+
+        try:
+            ole = cfb.CfbReader(f.data)
+        except (ValueError, IndexError, KeyError) as exc:
+            ctx.log_error(f"Failed to parse OLE container: {exc}")
+            return
+        if not ole.exists("Details"):
+            ctx.log_error("Unable to revert file!")
+            return
+        details = configparser.ConfigParser()
+        details.read_string(unxor(ole.read_stream("Details")).decode("utf8"))
+        for section in details.sections():
+            if not section.startswith("File_"):
+                continue
+            file_name = None
+            original_name = details.get(section, "OriginalName", fallback=None)
+            if original_name:
+                ctx.add(md.PathElement(original_name, is_dir=False)
+                        .add_tag("original_location"))
+                file_name = ntpath.basename(original_name)
+            if ole.exists(section):
+                ctx.dispatch(SampleFile(unxor(ole.read_stream(section)),
+                                        name=file_name))
+
+
+class Defender(Rule):
+    """Windows Defender quarantine: RC4 with a fixed published key
+    (Quarantined.py:70-127).  RC4 is our own implementation."""
+
+    DESCRIPTION = "Windows Defender Quarantined"
+    HEADER_LEN = 0x3C
+    # fixed key baked into Defender (public constant, Quarantined.py:73-85)
+    RC4_KEY = bytes(
+        b"\x1E\x87\x78\x1B\x8D\xBA\xA8\x44\xCE\x69\x70\x2C\x0C\x78\xB7\x86\xA3\xF6\x23\xB7\x38\xF5\xED\xF9"
+        b"\xAF\x83\x53\x0F\xB3\xFC\x54\xFA\xA2\x1E\xB9\xCF\x13\x31\xFD\x0F\x0D\xA9\x54\xF6\x87\xCB\x9E\x18"
+        b"\x27\x96\x97\x90\x0E\x53\xFB\x31\x7C\x9C\xBC\xE4\x8E\x23\xD0\x53\x71\xEC\xC1\x59\x51\xB8\xF3\x64"
+        b"\x9D\x7C\xA3\x3E\xD6\x8D\xC9\x04\x7E\x82\xC9\xBA\xAD\x97\x99\xD0\xD4\x58\xCB\x84\x7C\xA9\xFF\xBE"
+        b"\x3C\x8A\x77\x52\x33\x55\x7D\xDE\x13\xA8\xB1\x40\x87\xCC\x1B\xC8\xF1\x0F\x6E\xCD\xD0\x83\xA9\x59"
+        b"\xCF\xF8\x4A\x9D\x1D\x50\x75\x5E\x3E\x19\x18\x18\xAF\x23\xE2\x29\x35\x58\x76\x6D\x2C\x07\xE2\x57"
+        b"\x12\xB2\xCA\x0B\x53\x5E\xD8\xF6\xC5\x6C\xE7\x3D\x24\xBD\xD0\x29\x17\x71\x86\x1A\x54\xB4\xC2\x85"
+        b"\xA9\xA3\xDB\x7A\xCA\x6D\x22\x4A\xEA\xCD\x62\x1D\xB9\xF2\xA2\x2E\xD1\xE9\xE1\x1D\x75\xBE\xD7\xDC"
+        b"\x0E\xCB\x0A\x8E\x68\xA2\xFF\x12\x63\x40\x8D\xC8\x08\xDF\xFD\x16\x4B\x11\x67\x74\xCD\x0B\x9B\x8D"
+        b"\x05\x41\x1E\xD6\x26\x2E\x42\x9B\xA4\x95\x67\x6B\x83\x98\xDB\x2F\x35\xD3\xC1\xB9\xCE\xD5\x26\x36"
+        b"\xF2\x76\x5E\x1A\x95\xCB\x7C\xA4\xC3\xDD\xAB\xDD\xBF\xF3\x82\x53"
+    )
+
+    @classmethod
+    def identify(cls, f):
+        return len(f.data) > cls.HEADER_LEN and f.data.startswith(
+            (b"\xDB\xE8\xC5\x01", b"\x0B\xAD")
+        )
+
+    def run(self, f, ctx):
+        import struct
+
+        from kgmwcp.engine.crypto import rc4
+
+        data = f.data
+        if data.startswith(b"\xDB\xE8\xC5\x01"):
+            header = rc4(self.RC4_KEY, data[:self.HEADER_LEN])
+            data_end_1 = struct.unpack("<I", header[0x28:0x2C])[0] + self.HEADER_LEN
+            data_end_2 = struct.unpack("<I", header[0x2C:0x30])[0] + data_end_1
+            decrypt_1 = rc4(self.RC4_KEY, data[self.HEADER_LEN:data_end_1])
+            decrypt_2 = rc4(self.RC4_KEY, data[data_end_1:data_end_2])
+            ctx.dispatch(SampleFile(header + decrypt_1 + decrypt_2))
+        else:  # 0B AD variant
+            decrypt_all = rc4(self.RC4_KEY, data)
+            header_len = 0x28 + struct.unpack("<I", decrypt_all[0x08:0x0C])[0]
+            orig_len = struct.unpack(
+                "<I", decrypt_all[header_len - 12:header_len - 8])[0]
+            ctx.dispatch(SampleFile(
+                decrypt_all[header_len:header_len + orig_len]))
+
+
 class SymantecQB(Rule):
     """Whole-file XOR-0xB3 quarantine decrypt (Quarantined.py:208-235)."""
 
@@ -544,7 +644,7 @@ RULE_GROUPS = {
     "Decoy": [DecoyDOC, DecoyPDF, DecoyRTF, DecoyJPG, DecoyDOCX, DecoyXLSX, DecoyPPTX],
     "PDF": [PDFDocument],
     "PowerShell": [PowerShellScript],
-    "Quarantined": [SymantecQB],
+    "Quarantined": [McAfee, Defender, SymantecQB],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
     "VisualBasic": [EncodedASP, VBE, VBScript],
     "foo": [Foo],

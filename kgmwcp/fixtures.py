@@ -75,6 +75,58 @@ def _qb_payload(plain: bytes) -> bytes:
     return bytes(b ^ 0xB3 for b in plain)
 
 
+def mcafee_bup_payload(inner: bytes, original_name: str) -> bytes:
+    """McAfee BUP fixture: OLE container with XOR-0x6a Details + File_0.
+    Streams are padded past the mini-stream cutoff (comment lines / content
+    padding) because the fixture CFB writer emits regular FAT only."""
+    from kgmwcp.engine import cfb
+
+    details = (
+        "[Details]\nCreationYear=2020\n"
+        f"[File_0]\nOriginalName={original_name}\n"
+    )
+    details += "".join(f"; pad {i}\n" for i in range(500))  # > 4096 bytes
+    if len(inner) < 4096:
+        raise ValueError("pad inner payload past the mini-stream cutoff")
+    streams = {
+        "Details": bytes(b ^ 0x6A for b in details.encode("utf8")),
+        "File_0": bytes(b ^ 0x6A for b in inner),
+    }
+    return cfb.build_cfb(streams)
+
+
+def defender_payload(inner: bytes, variant: str = "0bad") -> bytes:
+    """Defender quarantine fixture: RC4-encrypt ``inner`` into either the
+    \\x0B\\xAD or \\xDB\\xE8\\xC5\\x01 layout (inverse of the extractor)."""
+    import struct
+
+    from kgmwcp.engine.crypto import rc4
+    from kgmwcp.engine.parsers import Defender
+
+    key = Defender.RC4_KEY
+    if variant == "0bad":
+        extra_header = 0x20  # header_len = 0x28 + this
+        header_len = 0x28 + extra_header
+        plain = bytearray(header_len)
+        struct.pack_into("<I", plain, 0x08, extra_header)
+        struct.pack_into("<I", plain, header_len - 12, len(inner))
+        plain += inner
+        # force the plaintext magic of the *encrypted* stream
+        keystream = rc4(key, b"\x00" * 2)
+        plain[0] = keystream[0] ^ 0x0B
+        plain[1] = keystream[1] ^ 0xAD
+        return rc4(key, bytes(plain))
+    # DB E8 C5 01 variant: three independently keyed segments
+    header = bytearray(Defender.HEADER_LEN)
+    keystream = rc4(key, b"\x00" * 4)
+    header[0:4] = bytes(k ^ m for k, m in zip(keystream, b"\xDB\xE8\xC5\x01"))
+    half = len(inner) // 2
+    struct.pack_into("<I", header, 0x28, half)
+    struct.pack_into("<I", header, 0x2C, len(inner) - half)
+    return (rc4(key, bytes(header)) + rc4(key, inner[:half])
+            + rc4(key, inner[half:]))
+
+
 # -- deterministic X.509 / PKCS#1 fixtures (kgmwcp/engine/der.py encoder) -----
 
 # fixed RSA parameters — arbitrary deterministic big ints; the extractors
@@ -199,6 +251,12 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
             _b64(b"\xd0\xcf\x11\xe0" + f"decoy filler {i}".encode()))
         add("qb_xor", i, f"q{i}/sample.qbd", "binary-b64",
             _b64(_qb_payload((PDF_TEXT + v).encode())))
+        add("mcafee_bup", i, f"q{i}/sample.bup", "binary-b64",
+            _b64(mcafee_bup_payload(
+                (PDF_TEXT + v + "% filler\n" * 600).encode(),
+                f"C:\\Users\\victim{i}\\evil.pdf")))
+        add("defender_q", i, f"q{i}/entry.dat", "binary-b64",
+            _b64(defender_payload((VBS_TEXT + vb).encode(), variant="0bad")))
         add("pem_cert", i, f"k{i}/cert.pem", "pem", cert_pem() + f"# {i}\n")
         add("pem_privkey", i, f"k{i}/key.pem", "pem", privkey_pem() + f"# {i}\n")
         add("foo_any", i, f"f{i}/anything.txt", "text", FOO_TEXT + v, route="foo")

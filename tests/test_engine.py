@@ -293,3 +293,66 @@ class TestRSA:
         data = fixtures.cert_pem().encode() + b"\x00\xff"
         result = run(data, name="cert.pem")
         assert not any(p == "rsa_public_key" for _, p, _ in result.triples)
+
+
+class TestQuarantineMcAfee:
+    def test_bup_extraction(self):
+        from kgmwcp import fixtures
+
+        inner = (fixtures.PDF_TEXT + "% filler\n" * 600).encode()
+        data = fixtures.mcafee_bup_payload(inner, "C:\\Users\\victim\\evil.pdf")
+        result = run(data, name="sample.bup")
+        assert result.files[0].description == "McAfee Quarantined"
+        # original-location path mention, tagged
+        paths = [json.loads(o) for _, p, o in result.triples if p == "path"]
+        assert paths == [{
+            "path": "C:\\Users\\victim\\evil.pdf", "is_dir": False,
+            "posix": False, "file_system": None, "tags": ["original_location"],
+        }]
+        # extracted child named from OriginalName, identified as PDF
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert [f["name"] for f in files] == ["evil.pdf"]
+        assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
+        assert files[0]["description"] == "PDF Document"
+        # the child's own extraction ran too
+        urls = [json.loads(o)["url"] for _, p, o in result.triples if p == "url"]
+        assert "http://bad.example.com/x?q=1" in urls
+
+
+class TestQuarantineDefender:
+    def test_0bad_variant(self):
+        from kgmwcp import fixtures
+
+        inner = b"dim x\r\nset y = createobject(\"z\")\r\n"
+        data = fixtures.defender_payload(inner, variant="0bad")
+        assert data[:2] == b"\x0b\xad"
+        result = run(data, name="entry.dat")
+        assert result.files[0].description == "Windows Defender Quarantined"
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
+        assert files[0]["description"] == "VBScript"
+
+    def test_dbe8_variant(self):
+        from kgmwcp import fixtures
+        from kgmwcp.engine.crypto import rc4
+        from kgmwcp.engine.parsers import Defender
+
+        inner = bytes(range(256)) * 4
+        data = fixtures.defender_payload(inner, variant="dbe8")
+        assert data[:4] == b"\xdb\xe8\xc5\x01"
+        result = run(data, name="entry.dat")
+        assert result.files[0].description == "Windows Defender Quarantined"
+        # child = decrypted header + both segments
+        header = rc4(Defender.RC4_KEY, data[:Defender.HEADER_LEN])
+        expected_child = header + inner
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert files[0]["sha256"] == hashlib.sha256(expected_child).hexdigest()
+
+
+class TestRC4:
+    def test_symmetry_and_vector(self):
+        from kgmwcp.engine.crypto import rc4
+
+        # public test vector (RFC 6229 style): key "Key", plaintext "Plaintext"
+        assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+        assert rc4(b"Key", rc4(b"Key", b"payload")) == b"payload"

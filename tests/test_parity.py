@@ -120,6 +120,25 @@ def build_golden() -> set:
     golden.add((sha(qb_payload), "file",
                 j(file_obj(child_name, "PDF Document", pdf))))
 
+    # mcafee_bup: original-location path + extracted child (distinct
+    # subject: content includes the filler padding) + child's own PDF IOCs
+    bup_inner = (fixtures.PDF_TEXT + v + "% filler\n" * 600).encode()
+    bup = fixtures.mcafee_bup_payload(bup_inner, "C:\\Users\\victim0\\evil.pdf")
+    golden.add((sha(bup), "path", j({
+        "path": "C:\\Users\\victim0\\evil.pdf", "is_dir": False,
+        "posix": False, "file_system": None, "tags": ["original_location"]})))
+    golden.add((sha(bup), "file",
+                j(file_obj("evil.pdf", "PDF Document", bup_inner))))
+    golden |= url_bundle(sha(bup_inner), "http://bad.example.com/x?q=1",
+                         "bad.example.com", path="/x", query="?q=1")
+    golden.add((sha(bup_inner), "email_address",
+                j({"value": "admin@bad.example.com", "tags": []})))
+
+    # defender_q (0bad): decrypted child == the vbs_plain payload
+    dq = fixtures.defender_payload(decoded, variant="0bad")
+    child_name = hashlib.md5(decoded).hexdigest() + ".bin"
+    golden.add((sha(dq), "file", j(file_obj(child_name, "VBScript", decoded))))
+
     # pem_cert
     cert = (fixtures.cert_pem() + "# 0\n").encode()
     golden.add((sha(cert), "rsa_public_key",
