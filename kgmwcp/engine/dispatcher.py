@@ -253,6 +253,8 @@ class ExtractionEngine:
                     description=f.description,
                     data=f.data,
                     derivation=f.derivation,
+                    architecture=f.architecture,
+                    compile_time=f.compile_time,
                 )
                 file_elem.add_tag(*sorted(f.tags))  # File.from_file_object parity
                 ctx.add(file_elem, source=f.parent)

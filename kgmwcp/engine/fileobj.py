@@ -19,7 +19,7 @@ class SampleFile:
     __slots__ = (
         "data", "_name", "description", "derivation", "tags", "parent",
         "children", "output_file", "rule", "rule_group", "origin_group",
-        "depth", "_md5", "_sha1", "_sha256",
+        "depth", "_md5", "_sha1", "_sha256", "_pe", "_pe_attempted",
     )
 
     def __init__(
@@ -39,9 +39,17 @@ class SampleFile:
         self._md5: Optional[str] = None
         self._sha1: Optional[str] = None
         self._sha256: Optional[str] = None
-        # Default name mirrors the reference's "<md5>.bin" stub for non-PE
-        # inputs (mwcp/file_object.py:141-147 -> pefileutils.py:386-418).
-        self._name = name if name else self.md5 + ext
+        self._pe = None
+        self._pe_attempted = False
+        # Default name mirrors the reference's stub naming
+        # (mwcp/file_object.py:141-147 -> pefileutils.py:386-418):
+        # non-PE -> "<md5>.bin"; PE -> "<md5>_<arch><.exe|.dll>".
+        if name:
+            self._name = name
+        elif self.pe is not None:
+            self._name = f"{self.md5}_{self.pe.architecture}{self.pe.file_ext()}"
+        else:
+            self._name = self.md5 + ext
         self.description = description
         self.derivation = derivation
         self.tags: set = set()
@@ -71,6 +79,29 @@ class SampleFile:
         if self._sha256 is None:
             self._sha256 = hashlib.sha256(self.data).hexdigest()
         return self._sha256
+
+    # -- format views ---------------------------------------------------------
+    @property
+    def pe(self):
+        """Lazy PE view, parsed once (mwcp/file_object.py:134,271-285)."""
+        if not self._pe_attempted:
+            self._pe_attempted = True
+            from kgmwcp.engine.pe import parse_pe
+
+            self._pe = parse_pe(self.data)
+        return self._pe
+
+    @property
+    def architecture(self) -> Optional[str]:
+        return self.pe.architecture if self.pe else None
+
+    @property
+    def compile_time(self) -> Optional[str]:
+        """ISO-8601 UTC compile time (File.from_file_object serialization,
+        mwcp/metadata.py:2873)."""
+        if self.pe:
+            return self.pe.compile_time().isoformat()
+        return None
 
     # -- naming ------------------------------------------------------------
     @property

@@ -386,6 +386,52 @@ class SymantecQB(Rule):
 
 
 # --------------------------------------------------------------------------
+# GenericDropper group (reference mwcp/parsers/GenericDropper.py) —
+# embedded-PE extraction from overlay / resources via our minimal PE reader
+# --------------------------------------------------------------------------
+
+class DropperOverlay(Rule):
+    """Embedded PE appended after the host PE (GenericDropper.py:9-27)."""
+
+    DESCRIPTION = "Dropper (Overlay)"
+
+    @classmethod
+    def identify(cls, f):
+        from kgmwcp.engine.pe import parse_pe
+
+        if f.pe is None:
+            return False
+        overlay = f.pe.overlay()
+        return bool(overlay) and parse_pe(overlay) is not None
+
+    def run(self, f, ctx):
+        ctx.dispatch(SampleFile(f.pe.overlay()))
+
+
+class DropperRSRC(Rule):
+    """Embedded PE in plaintext resources (GenericDropper.py:30-53)."""
+
+    DESCRIPTION = "Dropper (RSRC)"
+
+    @classmethod
+    def identify(cls, f):
+        from kgmwcp.engine.pe import parse_pe
+
+        return f.pe is not None and any(
+            parse_pe(data) is not None for _, _, data in f.pe.resources()
+        )
+
+    def run(self, f, ctx):
+        from kgmwcp.engine.pe import parse_pe
+
+        for dirtype, idname, data in f.pe.resources():
+            if parse_pe(data) is not None:
+                # def_stub naming "<dirtype>_<idname>" is overridden by the
+                # PE's own stub naming in the reference; keep the PE default
+                ctx.dispatch(SampleFile(data))
+
+
+# --------------------------------------------------------------------------
 # RSA group (reference mwcp/parsers/RSA.py) — PEM certificate + private key.
 # DER parsing is our own minimal walker (kgmwcp/engine/der.py); the
 # reference uses pyasn1_modules specs but the extracted fields match.
@@ -613,6 +659,10 @@ class Foo(Rule):
             ctx.add(md.Other("secret_using_external_knowledge", secret + "!"))
         ctx.knowledge_base["encryption_key"] = b"\xde\xad\xbe\xef"
         ctx.add(md.URL("http://127.0.0.1"))
+        if f.pe is not None:
+            # bytes-valued Other, matching foo.py:38-41
+            ctx.add(md.Other(
+                "section0", f.pe.sections[0].name.encode("latin1")))
         ctx.dispatch(SampleFile(
             b"hello world",
             name="fooconfigtest.txt",
@@ -644,6 +694,7 @@ RULE_GROUPS = {
     "Decoy": [DecoyDOC, DecoyPDF, DecoyRTF, DecoyJPG, DecoyDOCX, DecoyXLSX, DecoyPPTX],
     "PDF": [PDFDocument],
     "PowerShell": [PowerShellScript],
+    "GenericDropper": [DropperOverlay, DropperRSRC],
     "Quarantined": [McAfee, Defender, SymantecQB],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
     "VisualBasic": [EncodedASP, VBE, VBScript],
@@ -656,5 +707,6 @@ RULE_GROUPS = {
 # (Decoy ext-rename, Archive unpack) don't shadow real extractors.
 # foo is excluded — it identifies *any* file (demo parser).
 DEFAULT_GROUP_ORDER = [
-    "Quarantined", "RSA", "PDF", "PowerShell", "VisualBasic", "Decoy", "Archive",
+    "Quarantined", "GenericDropper", "RSA", "PDF", "PowerShell",
+    "VisualBasic", "Decoy", "Archive",
 ]

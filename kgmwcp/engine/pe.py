@@ -1,0 +1,302 @@
+"""Minimal PE (PE32/PE32+) reader + fixture builder — from scratch.
+
+Covers what the dropper/metadata extractors need: header fields
+(architecture, compile time, dll/exe), section table, RVA mapping,
+overlay-offset computation (mirroring the reference's modified
+get_overlay_data_start_offset, mwcp/utils/pefileutils.py:421-487), and
+resource-directory walking.  The builder emits small, valid-enough PE
+files (optionally with an overlay and RT_* resources) for deterministic
+fixtures.
+
+Format reference: the public PE/COFF specification.
+"""
+
+from __future__ import annotations
+
+import datetime
+import struct
+from typing import List, Optional, Tuple
+
+__all__ = ["MiniPE", "parse_pe", "build_pe", "RESOURCE_TYPES"]
+
+MACHINE_I386 = 0x014C
+MACHINE_AMD64 = 0x8664
+PE32_MAGIC = 0x10B
+PE32PLUS_MAGIC = 0x20B
+CHAR_DLL = 0x2000
+DIR_SECURITY = 4
+DIR_RESOURCE = 2
+
+RESOURCE_TYPES = {
+    1: "RT_CURSOR", 2: "RT_BITMAP", 3: "RT_ICON", 4: "RT_MENU",
+    5: "RT_DIALOG", 6: "RT_STRING", 7: "RT_FONTDIR", 8: "RT_FONT",
+    9: "RT_ACCELERATOR", 10: "RT_RCDATA", 11: "RT_MESSAGETABLE",
+    12: "RT_GROUP_CURSOR", 14: "RT_GROUP_ICON", 16: "RT_VERSION",
+    17: "RT_DLGINCLUDE", 19: "RT_PLUGPLAY", 20: "RT_VXD",
+    21: "RT_ANICURSOR", 22: "RT_ANIICON", 23: "RT_HTML", 24: "RT_MANIFEST",
+}
+
+
+class Section:
+    __slots__ = ("name", "virtual_address", "virtual_size",
+                 "raw_pointer", "raw_size")
+
+    def __init__(self, name, va, vsize, raw_ptr, raw_size):
+        self.name = name
+        self.virtual_address = va
+        self.virtual_size = vsize
+        self.raw_pointer = raw_ptr
+        self.raw_size = raw_size
+
+
+class MiniPE:
+    def __init__(self, data: bytes):
+        self.data = data
+        if len(data) < 0x40 or data[:2] != b"MZ":
+            raise ValueError("not a PE: missing MZ")
+        (e_lfanew,) = struct.unpack_from("<I", data, 0x3C)
+        if e_lfanew + 24 > len(data) or data[e_lfanew:e_lfanew + 4] != b"PE\x00\x00":
+            raise ValueError("not a PE: missing PE signature")
+        coff = e_lfanew + 4
+        (self.machine, n_sections, self.timestamp, _, _,
+         size_opt, self.characteristics) = struct.unpack_from("<HHIIIHH", data, coff)
+        self.opt_offset = coff + 20
+        self.size_of_optional_header = size_opt
+        (self.pe_type,) = struct.unpack_from("<H", data, self.opt_offset)
+        if self.pe_type not in (PE32_MAGIC, PE32PLUS_MAGIC):
+            raise ValueError("not a PE: bad optional-header magic")
+        # data directories: after the standard+windows optional fields
+        dd_offset = self.opt_offset + (112 if self.pe_type == PE32PLUS_MAGIC else 96)
+        (n_dirs,) = struct.unpack_from("<I", data, dd_offset - 4)
+        self.data_directories: List[Tuple[int, int]] = []
+        for i in range(min(n_dirs, 16)):
+            rva, size = struct.unpack_from("<II", data, dd_offset + i * 8)
+            self.data_directories.append((rva, size))
+        sec_offset = self.opt_offset + size_opt
+        self.sections: List[Section] = []
+        for i in range(n_sections):
+            off = sec_offset + i * 40
+            name = data[off:off + 8].rstrip(b"\x00").decode("latin1")
+            vsize, va, raw_size, raw_ptr = struct.unpack_from("<IIII", data, off + 8)
+            self.sections.append(Section(name, va, vsize, raw_ptr, raw_size))
+
+    # -- identity ------------------------------------------------------------
+    @property
+    def is_64bit(self) -> bool:
+        return self.pe_type == PE32PLUS_MAGIC
+
+    @property
+    def architecture(self) -> str:
+        """bitterm=False form used by File metadata (pefileutils.py:318-343)."""
+        return "x64" if self.is_64bit else "x86"
+
+    @property
+    def is_dll(self) -> bool:
+        return bool(self.characteristics & CHAR_DLL)
+
+    def file_ext(self) -> str:
+        """pefileutils.obtain_file_ext analogue (driver detection omitted)."""
+        return ".dll" if self.is_dll else ".exe"
+
+    def compile_time(self) -> datetime.datetime:
+        return datetime.datetime.fromtimestamp(self.timestamp, datetime.timezone.utc)
+
+    # -- address mapping ---------------------------------------------------------
+    def rva_to_offset(self, rva: int) -> Optional[int]:
+        for s in self.sections:
+            size = max(s.virtual_size, s.raw_size)
+            if s.virtual_address <= rva < s.virtual_address + size:
+                return s.raw_pointer + (rva - s.virtual_address)
+        if rva < (self.sections[0].raw_pointer if self.sections else len(self.data)):
+            return rva  # header region maps 1:1
+        return None
+
+    # -- overlay (reference-parity computation) ------------------------------------
+    def overlay_offset(self, include_data_directories: bool = True) -> Optional[int]:
+        largest = (0, 0)
+        file_size = len(self.data)
+
+        def grow(candidate):
+            nonlocal largest
+            if sum(candidate) <= file_size and sum(candidate) > sum(largest):
+                largest = candidate
+
+        grow((self.opt_offset, self.size_of_optional_header))
+        for s in self.sections:
+            grow((s.raw_pointer, s.raw_size))
+        if include_data_directories:
+            for idx, (rva, size) in enumerate(self.data_directories):
+                if not rva and not size:
+                    continue
+                if idx == DIR_SECURITY:
+                    grow((rva, size))  # security dir stores a file offset
+                else:
+                    offset = self.rva_to_offset(rva)
+                    if offset is not None:
+                        grow((offset, size))
+        end = sum(largest)
+        return end if file_size > end else None
+
+    def overlay(self) -> Optional[bytes]:
+        offset = self.overlay_offset()
+        return self.data[offset:] if offset is not None else None
+
+    # -- resources --------------------------------------------------------------
+    def resources(self) -> List[Tuple[str, str, bytes]]:
+        """[(dirtype, idname, data)] — flattened type/name level walk."""
+        if len(self.data_directories) <= DIR_RESOURCE:
+            return []
+        rsrc_rva, rsrc_size = self.data_directories[DIR_RESOURCE]
+        if not rsrc_rva or not rsrc_size:
+            return []
+        base = self.rva_to_offset(rsrc_rva)
+        if base is None:
+            return []
+        out = []
+
+        def read_dir(offset: int):
+            n_named, n_id = struct.unpack_from("<HH", self.data, offset + 12)
+            entries = []
+            for i in range(n_named + n_id):
+                name, value = struct.unpack_from("<II", self.data, offset + 16 + i * 8)
+                entries.append((name, value))
+            return entries
+
+        try:
+            for type_id, type_val in read_dir(base):
+                dirtype = RESOURCE_TYPES.get(type_id & 0x7FFFFFFF, str(type_id & 0x7FFFFFFF))
+                if not type_val & 0x80000000:
+                    continue
+                for res_id, res_val in read_dir(base + (type_val & 0x7FFFFFFF)):
+                    idname = str(res_id & 0x7FFFFFFF)
+                    if res_val & 0x80000000:
+                        lang_entries = read_dir(base + (res_val & 0x7FFFFFFF))
+                        if not lang_entries:
+                            continue
+                        data_entry_off = base + (lang_entries[0][1] & 0x7FFFFFFF)
+                    else:
+                        data_entry_off = base + res_val
+                    data_rva, size = struct.unpack_from("<II", self.data, data_entry_off)
+                    data_off = self.rva_to_offset(data_rva)
+                    if data_off is None:
+                        continue
+                    out.append((dirtype, idname, self.data[data_off:data_off + size]))
+        except struct.error:
+            return out
+        return out
+
+
+def parse_pe(data: bytes) -> Optional[MiniPE]:
+    try:
+        return MiniPE(data)
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+# -- fixture builder -----------------------------------------------------------
+
+def build_pe(
+    payload: bytes = b"\x90" * 64,
+    machine: int = MACHINE_I386,
+    timestamp: int = 1577836800,  # 2020-01-01T00:00:00Z
+    dll: bool = False,
+    overlay: bytes = b"",
+    resources: Optional[List[Tuple[int, int, bytes]]] = None,
+) -> bytes:
+    """Deterministic minimal PE: one .text section with ``payload``,
+    optional .rsrc section with [(type_id, res_id, data)], optional overlay."""
+    is64 = machine == MACHINE_AMD64
+    align = 0x200
+    valign = 0x1000
+
+    def pad(b: bytes, n: int) -> bytes:
+        return b + b"\x00" * (-len(b) % n)
+
+    sections = [(b".text", pad(payload, align))]
+    rsrc_raw = b""
+    if resources:
+        rsrc_raw = _build_rsrc(resources, rsrc_rva=valign * 2)
+        sections.append((b".rsrc", pad(rsrc_raw, align)))
+
+    n_sections = len(sections)
+    size_opt = 240 if is64 else 224
+    headers_size = 0x80 + 24 + size_opt + n_sections * 40
+    headers_size = (headers_size + align - 1) // align * align
+
+    # section table + raw layout
+    raw_ptr = headers_size
+    sec_entries = []
+    raws = []
+    for i, (name, raw) in enumerate(sections):
+        va = valign * (i + 1)
+        sec_entries.append((name, len(raw), va, len(raw), raw_ptr))
+        raws.append(raw)
+        raw_ptr += len(raw)
+
+    dos = bytearray(0x80)
+    dos[:2] = b"MZ"
+    struct.pack_into("<I", dos, 0x3C, 0x80)
+    coff = struct.pack(
+        "<4sHHIIIHH", b"PE\x00\x00", machine, n_sections, timestamp, 0, 0,
+        size_opt, (CHAR_DLL if dll else 0) | 0x0102,  # executable | 32bit-ish
+    )
+    opt = bytearray(size_opt)
+    struct.pack_into("<H", opt, 0, PE32PLUS_MAGIC if is64 else PE32_MAGIC)
+    # entry point / image base / alignments (loader plausibility)
+    struct.pack_into("<I", opt, 16, valign)              # AddressOfEntryPoint
+    struct.pack_into("<I", opt, 32, valign)              # SectionAlignment
+    struct.pack_into("<I", opt, 36, align)               # FileAlignment
+    size_of_image = valign * (n_sections + 1)
+    struct.pack_into("<I", opt, 56, size_of_image)
+    struct.pack_into("<I", opt, 60, headers_size)        # SizeOfHeaders
+    dd_offset = 112 if is64 else 96
+    struct.pack_into("<I", opt, dd_offset - 4, 16)       # NumberOfRvaAndSizes
+    if resources:
+        struct.pack_into("<II", opt, dd_offset + DIR_RESOURCE * 8,
+                         valign * 2, len(rsrc_raw))
+
+    sec_table = b""
+    for name, vsize, va, raw_size, ptr in sec_entries:
+        entry = bytearray(40)
+        entry[:len(name)] = name
+        struct.pack_into("<IIII", entry, 8, vsize, va, raw_size, ptr)
+        struct.pack_into("<I", entry, 36, 0x60000020)  # code|exec|read
+        sec_table += bytes(entry)
+
+    header = pad(bytes(dos) + coff + bytes(opt) + sec_table, align)
+    header = header + b"\x00" * (headers_size - len(header))
+    return header + b"".join(raws) + overlay
+
+
+def _build_rsrc(resources: List[Tuple[int, int, bytes]], rsrc_rva: int) -> bytes:
+    """Three-level resource directory (type -> id -> lang) + data blobs."""
+    def directory(entries: List[Tuple[int, int]]) -> bytes:
+        head = struct.pack("<IIHHHH", 0, 0, 0, 0, 0, len(entries))
+        return head + b"".join(struct.pack("<II", i, v) for i, v in entries)
+
+    n = len(resources)
+    root_size = 16 + n * 8
+    type_dir_size = 16 + 8
+    lang_dir_size = 16 + 8
+    data_entry_size = 16
+
+    type_dirs_base = root_size
+    lang_dirs_base = type_dirs_base + n * type_dir_size
+    data_entries_base = lang_dirs_base + n * lang_dir_size
+    blobs_base = data_entries_base + n * data_entry_size
+
+    root_entries = []
+    type_dirs = b""
+    lang_dirs = b""
+    data_entries = b""
+    blobs = b""
+    blob_off = blobs_base
+    for i, (type_id, res_id, blob) in enumerate(resources):
+        root_entries.append((type_id, 0x80000000 | (type_dirs_base + i * type_dir_size)))
+        type_dirs += directory(
+            [(res_id, 0x80000000 | (lang_dirs_base + i * lang_dir_size))])
+        lang_dirs += directory([(0x409, data_entries_base + i * data_entry_size)])
+        data_entries += struct.pack("<IIII", rsrc_rva + blob_off, len(blob), 0, 0)
+        blobs += blob
+        blob_off += len(blob)
+    return directory(root_entries) + type_dirs + lang_dirs + data_entries + blobs

@@ -75,6 +75,19 @@ def _qb_payload(plain: bytes) -> bytes:
     return bytes(b ^ 0xB3 for b in plain)
 
 
+def inner_pe(variant: int) -> bytes:
+    from kgmwcp.engine import pe
+
+    return pe.build_pe(payload=b"\x90" * 32 + bytes([variant % 256]) * 8)
+
+
+def dropper_overlay_payload(variant: int) -> bytes:
+    """Host PE with an embedded PE appended as overlay."""
+    from kgmwcp.engine import pe
+
+    return pe.build_pe(payload=b"\xcc" * 32, overlay=inner_pe(variant))
+
+
 def mcafee_bup_payload(inner: bytes, original_name: str) -> bytes:
     """McAfee BUP fixture: OLE container with XOR-0x6a Details + File_0.
     Streams are padded past the mini-stream cutoff (comment lines / content
@@ -257,6 +270,8 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
                 f"C:\\Users\\victim{i}\\evil.pdf")))
         add("defender_q", i, f"q{i}/entry.dat", "binary-b64",
             _b64(defender_payload((VBS_TEXT + vb).encode(), variant="0bad")))
+        add("dropper_overlay", i, f"b{i}/drop.exe", "binary-b64",
+            _b64(dropper_overlay_payload(i)))
         add("pem_cert", i, f"k{i}/cert.pem", "pem", cert_pem() + f"# {i}\n")
         add("pem_privkey", i, f"k{i}/key.pem", "pem", privkey_pem() + f"# {i}\n")
         add("foo_any", i, f"f{i}/anything.txt", "text", FOO_TEXT + v, route="foo")

@@ -356,3 +356,63 @@ class TestRC4:
         # public test vector (RFC 6229 style): key "Key", plaintext "Plaintext"
         assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
         assert rc4(b"Key", rc4(b"Key", b"payload")) == b"payload"
+
+
+class TestPE:
+    def test_parse_roundtrip(self):
+        from kgmwcp.engine import pe
+
+        blob = pe.build_pe(payload=b"\xcc" * 100)
+        parsed = pe.parse_pe(blob)
+        assert parsed is not None
+        assert parsed.architecture == "x86"
+        assert parsed.file_ext() == ".exe"
+        assert parsed.compile_time().isoformat() == "2020-01-01T00:00:00+00:00"
+        assert parsed.overlay() is None
+
+        blob64 = pe.build_pe(machine=pe.MACHINE_AMD64, dll=True)
+        parsed64 = pe.parse_pe(blob64)
+        assert parsed64.architecture == "x64"
+        assert parsed64.file_ext() == ".dll"
+
+    def test_overlay_dropper(self):
+        from kgmwcp.engine import pe
+
+        inner = pe.build_pe(payload=b"\x90" * 32)
+        outer = pe.build_pe(payload=b"\xcc" * 32, overlay=inner)
+        result = run(outer, name="drop.exe")
+        assert result.files[0].description == "Dropper (Overlay)"
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert len(files) == 1
+        child = files[0]
+        assert child["sha256"] == hashlib.sha256(inner).hexdigest()
+        # PE children get arch-suffixed stub names + PE metadata
+        inner_md5 = hashlib.md5(inner).hexdigest()
+        assert child["name"] == f"{inner_md5}_x86.exe"
+        assert child["architecture"] == "x86"
+        assert child["compile_time"] == "2020-01-01T00:00:00+00:00"
+
+    def test_rsrc_dropper(self):
+        from kgmwcp.engine import pe
+
+        inner = pe.build_pe(payload=b"\x90" * 48)
+        outer = pe.build_pe(payload=b"\xcc" * 32,
+                            resources=[(10, 101, inner), (24, 1, b"<xml/>")])
+        parsed = pe.parse_pe(outer)
+        rsrcs = parsed.resources()
+        assert [(t, i) for t, i, _ in rsrcs] == [("RT_RCDATA", "101"), ("RT_MANIFEST", "1")]
+        assert rsrcs[0][2] == inner
+
+        result = run(outer, name="drop2.exe")
+        assert result.files[0].description == "Dropper (RSRC)"
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert [f["sha256"] for f in files] == [hashlib.sha256(inner).hexdigest()]
+
+    def test_foo_reports_pe_section(self):
+        from kgmwcp.engine import pe
+
+        blob = pe.build_pe(payload=b"\x90" * 16)
+        result = run(blob, route="foo", kb={})
+        others = [json.loads(o) for _, p, o in result.triples if p == "other"]
+        assert {"key": "section0", "value": "LnRleHQ=",  # b".text" base64
+                "value_format": "bytes", "tags": []} in others

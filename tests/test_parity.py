@@ -139,6 +139,16 @@ def build_golden() -> set:
     child_name = hashlib.md5(decoded).hexdigest() + ".bin"
     golden.add((sha(dq), "file", j(file_obj(child_name, "VBScript", decoded))))
 
+    # dropper_overlay: embedded PE child with arch-suffixed stub name +
+    # PE metadata on the File element
+    inner = fixtures.inner_pe(0)
+    outer = fixtures.dropper_overlay_payload(0)
+    pe_file = file_obj(f"{hashlib.md5(inner).hexdigest()}_x86.exe",
+                       "Unidentified file", inner)
+    pe_file["architecture"] = "x86"
+    pe_file["compile_time"] = "2020-01-01T00:00:00+00:00"
+    golden.add((sha(outer), "file", j(pe_file)))
+
     # pem_cert
     cert = (fixtures.cert_pem() + "# 0\n").encode()
     golden.add((sha(cert), "rsa_public_key",
