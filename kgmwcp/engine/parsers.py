@@ -363,6 +363,28 @@ class Defender(Rule):
                 decrypt_all[header_len:header_len + orig_len]))
 
 
+class AhnLab(Rule):
+    """AhnLab V3 quarantine: cycled-key XOR after a sized header
+    (Quarantined.py:238-256)."""
+
+    DESCRIPTION = "AhnLab"
+    KEY = bytes(k ^ 0xFF for k in b"v3backup!@#$%^&)")
+
+    @classmethod
+    def identify(cls, f):
+        return f.data.startswith(b"AhnLab Inc. 2006")
+
+    def run(self, f, ctx):
+        import numpy as np
+
+        data_offset = int.from_bytes(f.data[0x58:0x5C], "little") + 0x58
+        data = f.data[data_offset:]
+        key = np.frombuffer(self.KEY, dtype=np.uint8)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        keystream = np.resize(key, len(arr))
+        ctx.dispatch(SampleFile(np.bitwise_xor(arr, keystream).tobytes()))
+
+
 class SymantecQB(Rule):
     """Whole-file XOR-0xB3 quarantine decrypt (Quarantined.py:208-235)."""
 
@@ -695,7 +717,7 @@ RULE_GROUPS = {
     "PDF": [PDFDocument],
     "PowerShell": [PowerShellScript],
     "GenericDropper": [DropperOverlay, DropperRSRC],
-    "Quarantined": [McAfee, Defender, SymantecQB],
+    "Quarantined": [McAfee, Defender, SymantecQB, AhnLab],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
     "VisualBasic": [EncodedASP, VBE, VBScript],
     "foo": [Foo],

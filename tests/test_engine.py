@@ -416,3 +416,23 @@ class TestPE:
         others = [json.loads(o) for _, p, o in result.triples if p == "other"]
         assert {"key": "section0", "value": "LnRleHQ=",  # b".text" base64
                 "value_format": "bytes", "tags": []} in others
+
+
+class TestQuarantineAhnLab:
+    def test_v3b_extraction(self):
+        from itertools import cycle
+        from kgmwcp.engine.parsers import AhnLab
+
+        inner = b"%PDF-1.4 quarantined original content here"
+        header = b"AhnLab Inc. 2006" + b"\x00" * 0x4C
+        # header declares 0x10 extra bytes before data (offset 0x58+0x10)
+        header = bytearray(header)
+        import struct
+        struct.pack_into("<I", header, 0x58, 0x10)
+        header = bytes(header) + b"\xee" * 0x0C  # prefix len = 0x58 + 0x10
+        enc = bytes(d ^ k for d, k in zip(inner, cycle(AhnLab.KEY)))
+        data = header + enc
+        result = run(data, name="v3b.dat")
+        assert result.files[0].description == "AhnLab"
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
