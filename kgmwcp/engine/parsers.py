@@ -454,6 +454,96 @@ class DropperRSRC(Rule):
 
 
 # --------------------------------------------------------------------------
+# Python group (reference mwcp/parsers/Python.py) — PyInstaller CArchive.
+# The reference parses with `construct` specs; this is a struct/zlib
+# re-implementation of the same layout.
+# --------------------------------------------------------------------------
+
+_PYINSTALLER_MAGIC = b"MEI\x0c\x0b\x0a\x0b\x0e"
+
+
+class PyInstaller(Rule):
+    """PyInstaller cookie + TOC extraction (Python.py:15-145)."""
+
+    DESCRIPTION = "PyInstaller"
+
+    @classmethod
+    def identify(cls, f):
+        # identify returns extra run-args consumed by run() —
+        # the version-specific cookie size (dispatcher P8 semantics)
+        if f.data[-24:-24 + len(_PYINSTALLER_MAGIC)] == _PYINSTALLER_MAGIC:
+            return True, 24       # pyinstaller 2.0 cookie
+        if f.data[-88:-88 + len(_PYINSTALLER_MAGIC)] == _PYINSTALLER_MAGIC:
+            return True, 88       # pyinstaller 2.1+ cookie (with dll name)
+        return False
+
+    def run(self, f, ctx, cookie_size: int = 88):
+        import struct
+        import zlib
+
+        cookie = f.data[-cookie_size:]
+        package_size, toc_offset, toc_entries, python_version = struct.unpack_from(
+            ">IIII", cookie, len(_PYINSTALLER_MAGIC))
+        package = f.data[-package_size:-cookie_size]
+
+        entries = []
+        pos = toc_offset
+        while pos + 18 <= len(package):
+            entry_size, offset, compressed_size, final_size = struct.unpack_from(
+                ">IIII", package, pos)
+            if entry_size < 18 or pos + entry_size > len(package):
+                break
+            flag = package[pos + 16] != 0
+            typ = chr(package[pos + 17])
+            name = package[pos + 18:pos + entry_size].rstrip(b"\x00").decode("latin1")
+            blob = package[offset:offset + compressed_size]
+            if flag:
+                try:
+                    blob = zlib.decompress(blob)
+                except zlib.error:
+                    blob = b""
+            entries.append((name, typ, blob))
+            pos += entry_size
+
+        version_str = str(python_version)[0] + "." + str(python_version)[1:]
+        ctx.add(md.Version(version_str).add_tag("Python"))
+
+        pyz = next((b for n, _, b in entries if n == "PYZ-00.pyz"), None)
+        target_names = [
+            n.rsplit(".", 1)[0].replace(".exe", "")
+            for n, _, _ in entries if n.endswith(".manifest")
+        ]
+        # pyc header synthesis per python version (Python.py:126-134)
+        if pyz:
+            hdr = pyz[4:8] + b"\x00" * 12
+        elif python_version >= 37:
+            hdr = b"\x42\x0d\x0d\x0a" + b"\x00" * 12
+        elif python_version >= 33:
+            hdr = b"\x42\x0d\x0d\x0a" + b"\x00" * 8
+        else:
+            hdr = b"\x03\xf3\x0d\x0a" + b"\x00" * 4
+
+        def extract(name, typ, blob):
+            if not blob:
+                return None
+            data = blob
+            if typ in ("s", "m", "M"):
+                if typ == "s" and blob[1:4] != b"\x00\x00\x00":
+                    name += ".py"
+                else:
+                    name += ".pyc"
+                    data = hdr + blob
+            return SampleFile(data, name=name)
+
+        for name, typ, blob in entries:
+            if target_names and not (name in target_names or blob.startswith(b"PYZ\x00")):
+                continue
+            child = extract(name, typ, blob)
+            if child is not None:
+                ctx.dispatch(child)
+
+
+# --------------------------------------------------------------------------
 # RSA group (reference mwcp/parsers/RSA.py) — PEM certificate + private key.
 # DER parsing is our own minimal walker (kgmwcp/engine/der.py); the
 # reference uses pyasn1_modules specs but the extracted fields match.
@@ -717,6 +807,7 @@ RULE_GROUPS = {
     "PDF": [PDFDocument],
     "PowerShell": [PowerShellScript],
     "GenericDropper": [DropperOverlay, DropperRSRC],
+    "Python": [PyInstaller],
     "Quarantined": [McAfee, Defender, SymantecQB, AhnLab],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
     "VisualBasic": [EncodedASP, VBE, VBScript],
@@ -729,6 +820,6 @@ RULE_GROUPS = {
 # (Decoy ext-rename, Archive unpack) don't shadow real extractors.
 # foo is excluded — it identifies *any* file (demo parser).
 DEFAULT_GROUP_ORDER = [
-    "Quarantined", "GenericDropper", "RSA", "PDF", "PowerShell",
+    "Quarantined", "Python", "GenericDropper", "RSA", "PDF", "PowerShell",
     "VisualBasic", "Decoy", "Archive",
 ]

@@ -301,3 +301,47 @@ def iter_expected_root_hashes(replication: int = 1, hot_rows: int = 8) -> Iterat
     for _, _, _, lang, content, _ in corpus_rows(replication, hot_rows):
         raw = base64.b64decode(content) if lang == "binary-b64" else content.encode()
         yield hashlib.sha256(raw).hexdigest()
+
+
+def pyinstaller_payload(script: bytes, variant: int = 0) -> bytes:
+    """PyInstaller 2.1+ CArchive fixture: zlib'd script entry + manifest +
+    PYZ stub, trailing cookie (inverse of the extractor's layout walk)."""
+    import struct
+    import zlib
+
+    magic = b"MEI\x0c\x0b\x0a\x0b\x0e"
+
+    def toc_entry(name: str, typ: bytes, blob: bytes, offset: int,
+                  compressed: bool) -> tuple:
+        stored = zlib.compress(blob) if compressed else blob
+        name_field = name.encode() + b"\x00" * (8 - len(name.encode()) % 8)
+        entry_size = 18 + len(name_field)
+        head = struct.pack(">IIII", entry_size, offset, len(stored), len(blob))
+        head += b"\x01" if compressed else b"\x00"
+        head += typ
+        return head + name_field, stored
+
+    blobs = []
+    entries = []
+    offset = 0
+    for name, typ, blob, compressed in [
+        ("evil", b"s", script, True),
+        ("evil.exe.manifest", b"x", b"<assembly/>" + bytes([variant % 256]), False),
+        ("PYZ-00.pyz", b"z", b"PYZ\x00\x42\x0d\x0d\x0a" + b"\x00" * 16, False),
+    ]:
+        entry, stored = toc_entry(name, typ, blob, offset, compressed)
+        entries.append(entry)
+        blobs.append(stored)
+        offset += len(stored)
+
+    data_blob = b"".join(blobs)
+    toc = b"".join(entries)
+    cookie = magic + struct.pack(
+        ">IIII", 0, len(data_blob), len(entries), 37) + b"python37.dll".ljust(64, b"\x00")
+    cookie_size = len(cookie)
+    assert cookie_size == 88
+    package_size = len(data_blob) + len(toc) + cookie_size
+    cookie = magic + struct.pack(
+        ">IIII", package_size, len(data_blob), len(entries), 37
+    ) + b"python37.dll".ljust(64, b"\x00")
+    return data_blob + toc + cookie

@@ -436,3 +436,24 @@ class TestQuarantineAhnLab:
         assert result.files[0].description == "AhnLab"
         files = [json.loads(o) for _, p, o in result.triples if p == "file"]
         assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
+
+
+class TestPyInstaller:
+    def test_carchive_extraction(self):
+        from kgmwcp import fixtures
+
+        script = b"import socket\nHOST = 'c2.example.net'\n"
+        data = fixtures.pyinstaller_payload(script)
+        result = run(data, name="frozen.exe")
+        assert result.files[0].description == "PyInstaller"
+        # python version reported, tagged
+        versions = [json.loads(o) for _, p, o in result.triples if p == "version"]
+        assert versions == [{"value": "3.7", "tags": ["Python"]}]
+        # manifest targeting: only 'evil' (-> evil.py) and the PYZ extracted
+        files = sorted(
+            json.loads(o)["name"] for _, p, o in result.triples if p == "file"
+        )
+        assert files == ["PYZ-00.pyz", "evil.py"]
+        evil = next(json.loads(o) for _, p, o in result.triples
+                    if p == "file" and json.loads(o)["name"] == "evil.py")
+        assert evil["sha256"] == hashlib.sha256(script).hexdigest()
