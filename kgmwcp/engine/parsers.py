@@ -363,6 +363,53 @@ class Defender(Rule):
                 decrypt_all[header_len:header_len + orig_len]))
 
 
+def _swap_dwords(data: bytes) -> bytes:
+    """Reverse each 4-byte group (Quarantined.py:189-196)."""
+    out = bytearray()
+    for off in range(0, len(data) - len(data) % 4, 4):
+        out += data[off:off + 4][::-1]
+    return bytes(out)
+
+
+class SymantecSubSDK(Rule):
+    """Symantec SubSDK quarantine: per-16-byte-chunk Blowfish-ECB with
+    dword swaps and per-chunk PKCS7 unpad (Quarantined.py:142-199).
+    Blowfish is our own pi-derived implementation (engine/crypto.py)."""
+
+    DESCRIPTION = "Symantec Quarantined Sub SDK"
+
+    @classmethod
+    def _decode(cls, data: bytes, key: bytes) -> bytes:
+        from kgmwcp.engine.crypto import Blowfish, pkcs7_unpad
+
+        cipher = Blowfish(key)
+        out = bytearray()
+        for off in range(0, len(data), 16):
+            chunk = _swap_dwords(data[off:off + 16])
+            decrypted = cipher.decrypt(chunk)
+            decrypted = pkcs7_unpad(decrypted, Blowfish.BLOCK_SIZE)
+            out += _swap_dwords(decrypted)
+        return bytes(out)
+
+    @classmethod
+    def identify(cls, f):
+        if f.parent is None and len(f.data) > 48:
+            key = f.data[16:32]
+            try:
+                header = cls._decode(f.data[32:48], key)
+            except ValueError:
+                return False
+            return any(rx.search(header) for rx in _QUARANTINE_FILE_HEADERS)
+        return False
+
+    def run(self, f, ctx):
+        key = f.data[16:32]
+        try:
+            ctx.dispatch(SampleFile(self._decode(f.data[32:], key)))
+        except ValueError as exc:
+            ctx.log_error(f"Failed to decode Symantec SubSDK data: {exc}")
+
+
 class AhnLab(Rule):
     """AhnLab V3 quarantine: cycled-key XOR after a sized header
     (Quarantined.py:238-256)."""
@@ -839,7 +886,7 @@ RULE_GROUPS = {
     "GenericDropper": [DropperOverlay, DropperRSRC],
     "ISO": [ISOImageFile],
     "Python": [PyInstaller],
-    "Quarantined": [McAfee, Defender, SymantecQB, AhnLab],
+    "Quarantined": [McAfee, Defender, SymantecQB, SymantecSubSDK, AhnLab],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
     "VisualBasic": [EncodedASP, VBE, VBScript],
     "foo": [Foo],

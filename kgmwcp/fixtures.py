@@ -345,3 +345,21 @@ def pyinstaller_payload(script: bytes, variant: int = 0) -> bytes:
         ">IIII", package_size, len(data_blob), len(entries), 37
     ) + b"python37.dll".ljust(64, b"\x00")
     return data_blob + toc + cookie
+
+
+def subsdk_payload(inner: bytes, key: bytes = b"0123456789abcdef") -> bytes:
+    """Symantec SubSDK fixture: inverse of the per-chunk decode — each
+    8-byte plaintext piece becomes swap(BF_encrypt(swap(piece) + PKCS7(8)))."""
+    from kgmwcp.engine.crypto import Blowfish
+    from kgmwcp.engine.parsers import _swap_dwords
+
+    if len(inner) % 8:
+        raise ValueError("pad inner payload to a multiple of 8 bytes")
+    cipher = Blowfish(key)
+    body = bytearray()
+    for off in range(0, len(inner), 8):
+        piece = inner[off:off + 8]
+        padded = _swap_dwords(piece) + b"\x08" * 8
+        body += _swap_dwords(cipher.encrypt(padded))
+    header = b"SubSDKQuarantine" + key  # bytes 16:32 carry the key
+    return header + bytes(body)

@@ -480,3 +480,16 @@ class TestISO:
         # the reference's case-sensitive name predicate (PowerShell.py:39-41)
         descs = {f["name"]: f["description"] for f in file_rows}
         assert descs["RUN.PS1"] == "Unidentified file"
+
+
+class TestQuarantineSubSDK:
+    def test_blowfish_chunked_extraction(self):
+        from kgmwcp import fixtures
+
+        inner = (fixtures.PDF_TEXT + " " * (-len(fixtures.PDF_TEXT) % 8)).encode()
+        data = fixtures.subsdk_payload(inner)
+        result = run(data, name="sub.dat")
+        assert result.files[0].description == "Symantec Quarantined Sub SDK"
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
+        assert files[0]["description"] == "PDF Document"
