@@ -215,6 +215,29 @@ FROM (
 """
 
 
+
+
+# -- stage-0 identity as an oracle-checkable query: the content-sha256
+#    invariant (BASELINE.md) verified by DuckDB's own sha256/md5 ------------
+
+def q_kg_stage0_identity(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("content_sha256"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("content_md5"),
+        F.length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+    )
+
+
+SQL_KG_STAGE0_IDENTITY = """
+SELECT doc_id,
+       sha256(text) AS content_sha256,
+       md5(text) AS content_md5,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_lang_id": q_text_lang_id,
@@ -222,6 +245,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "kg_token_mentions": q_kg_token_mentions,
     "kg_entity_link_docs": q_kg_entity_link_docs,
+    "kg_stage0_identity": q_kg_stage0_identity,
 }
 
 ORACLES = {
@@ -231,4 +255,5 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "kg_token_mentions": SQL_KG_TOKEN_MENTIONS,
     "kg_entity_link_docs": SQL_KG_ENTITY_LINK_DOCS,
+    "kg_stage0_identity": SQL_KG_STAGE0_IDENTITY,
 }
