@@ -106,7 +106,12 @@ class Element:
 
     @classmethod
     def type_name(cls) -> str:
-        return cls.TYPE or camel_to_snake(cls.__name__)
+        # memoized per class (hot path: called for every emitted triple)
+        cached = cls.__dict__.get("_TYPE_NAME")
+        if cached is None:
+            cached = cls.TYPE or camel_to_snake(cls.__name__)
+            cls._TYPE_NAME = cached
+        return cached
 
     def add_tag(self, *tags: str) -> "Element":
         for tag in tags:

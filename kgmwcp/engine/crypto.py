@@ -75,13 +75,27 @@ class Blowfish:
                 word = (word << 8) | key[(i * 4 + j) % len(key)]
             key_words.append(word)
         self.p = [p ^ k for p, k in zip(self.p, key_words)]
+        # key schedule hot loop with local bindings + inlined F —
+        # 521 block encryptions dominate cipher setup in pure python
+        p = self.p
+        s0, s1, s2, s3 = self.s
         left = right = 0
+
+        def enc(l, r):
+            for i in range(16):
+                l ^= p[i]
+                h = (s0[l >> 24] + s1[(l >> 16) & 0xFF]) & 0xFFFFFFFF
+                r ^= (h ^ s2[(l >> 8) & 0xFF]) + s3[l & 0xFF] & 0xFFFFFFFF
+                r &= 0xFFFFFFFF
+                l, r = r, l
+            return r ^ p[17], l ^ p[16]
+
         for i in range(0, 18, 2):
-            left, right = self._encrypt_block(left, right)
-            self.p[i], self.p[i + 1] = left, right
+            left, right = enc(left, right)
+            p[i], p[i + 1] = left, right
         for box in self.s:
             for i in range(0, 256, 2):
-                left, right = self._encrypt_block(left, right)
+                left, right = enc(left, right)
                 box[i], box[i + 1] = left, right
 
     def _f(self, x: int) -> int:

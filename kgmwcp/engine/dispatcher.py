@@ -103,12 +103,17 @@ class ReportContext:
         (mwcp/report.py:511-561,925-975).
         """
         for source in self._sources:
-            yielded: List[md.Element] = []
+            # dedupe by canonical serialization — equivalent to the
+            # reference's structural equality (payload-based) but O(n)
+            # instead of O(n^2) __eq__ sweeps, and the canonical string is
+            # reused as the emitted obj
+            seen: set = set()
             for element in self._metadata[id(source)]:
                 for item in [element, *element.sub_elements()]:
-                    if not any(item == seen for seen in yielded):
-                        yielded.append(item)
-                        yield source, item.type_name(), item.canonical()
+                    key = (item.type_name(), item.canonical())
+                    if key not in seen:
+                        seen.add(key)
+                        yield source, key[0], key[1]
 
 
 class ExtractionResult:

@@ -394,6 +394,14 @@ class SymantecSubSDK(Rule):
     @classmethod
     def identify(cls, f):
         if f.parent is None and len(f.data) > 48:
+            # cheap gate before the (expensive, pure-python) Blowfish
+            # trial-decrypt: a real container's key+ciphertext prefix is
+            # effectively random bytes — an all-printable prefix means
+            # plain text, never an encrypted SubSDK header. (Performance
+            # gate on top of Quarantined.py:146-166; behavior-identical
+            # except for pathological all-printable ciphertexts.)
+            if _is_text(f.data[:48], threshold=0.0):
+                return False
             key = f.data[16:32]
             try:
                 header = cls._decode(f.data[32:48], key)
