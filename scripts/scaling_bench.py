@@ -43,7 +43,15 @@ spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
 pipe = Pipeline(PipelineConfig(n_buckets=256, extract_partitions=cpus * 3,
                                knowledge_base={{"secret": "hello"}}))
 corpus = pad_text_rows(bench_corpus(spark, replicas))
-samples = pipe.samples(corpus).repartition(cpus * 3, "sha256").cache()
+# cache exactly the pruned extract input: caching the full samples row
+# (content string + content_bin + identity columns) doubles the per-trial
+# JVM scan + Arrow cost and drowns the python stage's scaling
+samples = (
+    pipe.samples(corpus)
+    .repartition(cpus * 3, "sha256")
+    .select("repo", "path", "commit", "route", "content_bin", "bucket")
+    .cache()
+)
 n = samples.count()
 
 from kgmwcp.stages.extract import extract_records

@@ -193,3 +193,23 @@ class TestPoshDeob:
         out, strings = posh.deobfuscate(code)
         assert out == code
         assert strings == []
+
+
+class TestStringUtils:
+    def test_to_unicode_latin1_lossy(self):
+        from kgmwcp.engine.strings import to_unicode
+
+        assert to_unicode("plain") == "plain"
+        assert to_unicode(b"caf\xe9") == "caf\xe9"  # latin1
+        assert to_unicode(123) == "123"
+
+    def test_sanitize_filename_nfkd(self):
+        from kgmwcp.engine.strings import sanitize_filename
+
+        assert sanitize_filename("evíl – file?.exe") == "evil  file.exe"
+        assert sanitize_filename(b"bad\x00name.bin") == "badname.bin"
+
+    def test_collision_safe_name(self):
+        from kgmwcp.engine.strings import collision_safe_name
+
+        assert collision_safe_name("5eb63bbbe01e", "a:b.txt") == "5eb63_ab.txt"
