@@ -130,9 +130,12 @@ class ExtractionEngine:
     """Runs the rule registry against one root sample (row-local)."""
 
     def __init__(self, group_order: Optional[List[str]] = None,
-                 groups: Optional[dict] = None):
+                 groups: Optional[dict] = None, greedy: bool = False):
         self.groups = groups or RULE_GROUPS
         self.group_order = group_order or DEFAULT_GROUP_ORDER
+        # greedy mode: run ALL matching rules instead of first-match
+        # (mwcp/dispatcher.py:97-99,311-312)
+        self.greedy = greedy
         # (rule_name, md5) -> bool identify memoization; shared across roots
         # within one engine instance (i.e. one Arrow batch / python worker),
         # mirroring dispatcher._identify_cache (mwcp/dispatcher.py:51-52).
@@ -242,7 +245,8 @@ class ExtractionEngine:
                     continue
                 if self._try_parse(f, group, rule, ctx, run_args):
                     identified = True
-                    break  # non-greedy first-match (dispatcher.py:311-312)
+                    if not self.greedy:
+                        break  # non-greedy first-match (dispatcher.py:311-312)
 
             if not identified and not f.description:
                 # default UnidentifiedFile (dispatcher.py:329-336)

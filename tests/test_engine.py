@@ -493,3 +493,17 @@ class TestQuarantineSubSDK:
         files = [json.loads(o) for _, p, o in result.triples if p == "file"]
         assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
         assert files[0]["description"] == "PDF Document"
+
+
+class TestGreedyMode:
+    def test_greedy_runs_all_matching_rules(self):
+        # a PDF-with-IOCs also matches Decoy.PDF; greedy mode runs both
+        data = b"%PDF-1.4 stream http://greedy.example.com/a end"
+        non_greedy = ExtractionEngine().run(data, name="g.bin")
+        assert non_greedy.files[0].description == "PDF Document"
+        assert non_greedy.files[0].name == "g.bin"  # no decoy rename
+
+        greedy = ExtractionEngine(greedy=True).run(data, name="g.bin")
+        # PDF ran (urls extracted) AND Decoy renamed the extension
+        assert any(p == "url" for _, p, _ in greedy.triples)
+        assert greedy.files[0].name == "g.pdf"

@@ -145,3 +145,38 @@ def test_unidentified_has_no_mentions(tables):
 def test_metrics_table(tables):
     metrics = Pipeline.metrics(tables["records"]).collect()
     assert any(m["kind"] == "mention" and m["pred"] == "url" for m in metrics)
+
+
+def test_output_independent_of_arrow_batch_size(spark):
+    """Extraction output must not depend on Arrow batch boundaries
+    (SURVEY.md §7.3 risk #4): the identify-cache is per-engine/per-batch
+    state and must never change emitted triples."""
+    corpus = fixtures.corpus_df(spark, replication=1, hot_rows=2)
+    pipe = Pipeline(PipelineConfig(n_buckets=8, knowledge_base={"secret": "hello"}))
+
+    def run_with_batch(n):
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(n))
+        try:
+            return {(r["subj"], r["pred"], r["obj"])
+                    for r in pipe.run(corpus)["triples"].collect()}
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert run_with_batch(3) == run_with_batch(512)
+
+
+def test_report_json_structure(spark, corpus):
+    pipe = Pipeline(PipelineConfig(n_buckets=8, knowledge_base={"secret": "hello"}))
+    tables = pipe.run(corpus)
+    foo_sha = hashlib.sha256((fixtures.FOO_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    row = tables["reports"].filter(F.col("root_sha256") == foo_sha).collect()[0]
+    report = json.loads(row["report_json"])
+    assert report["type"] == "report"
+    assert report["input_file"]["sha256"] == foo_sha
+    assert report["input_file"]["name"] == "anything.txt"
+    entry_types = sorted(e["type"] for e in report["metadata"])
+    assert entry_types == ["file", "network", "other", "socket", "url"]
+    # every metadata entry is a typed payload (reference unstructure shape)
+    url_entry = next(e for e in report["metadata"] if e["type"] == "url")
+    assert url_entry["url"] == "http://127.0.0.1"
