@@ -13,3 +13,24 @@ Reference semantics surveyed in SURVEY.md with file:line citations into
 __version__ = "0.1.0"
 
 from kgmwcp.pipeline import Pipeline, PipelineConfig  # noqa: F401
+
+
+def run(spark, docs, parser=None, knowledge_base=None, n_buckets=256,
+        extract_partitions=None):
+    """Library entry point mirroring the reference's ``mwcp.run``
+    (mwcp/core.py:16-84): documents DataFrame in, KG tables out.
+
+    ``parser`` restricts routing to one group (None = auto registry
+    routing); returns {"records", "mentions", "files", "triples",
+    "nodes", "edges", "reports"} DataFrames (SURVEY.md §3.2).
+    """
+    from pyspark.sql import functions as F
+
+    config = PipelineConfig(
+        n_buckets=n_buckets,
+        extract_partitions=extract_partitions,
+        knowledge_base=dict(knowledge_base or {}),
+    )
+    if parser:
+        docs = docs.withColumn("route", F.lit(parser))
+    return Pipeline(config).run(docs)

@@ -71,6 +71,17 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     )
     pipe = Pipeline(config)
 
+    import pathlib as _pathlib
+    import sys as _sys
+
+    if not _pathlib.Path(args.input).exists():
+        print(f"error: input path does not exist: {args.input}", file=_sys.stderr)
+        raise SystemExit(1)
+    # surface the active external knowledge — an omitted --knowledge-base
+    # silently changes parser output (e.g. the foo secret element)
+    print(f"knowledge_base keys: {sorted(config.knowledge_base) or '(none)'}",
+          file=_sys.stderr)
+
     try:
         if args.streaming:
             from kgmwcp.streaming.ingest import run_available_now

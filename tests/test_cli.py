@@ -34,3 +34,22 @@ def test_package_pyfiles(tmp_path):
         names = zf.namelist()
     assert "kgmwcp/pipeline.py" in names
     assert "kgmwcp/engine/dispatcher.py" in names
+
+
+def test_library_run_facade(spark):
+    """kgmwcp.run mirrors the reference's mwcp.run surface."""
+    import kgmwcp
+
+    docs = fixtures.corpus_df(spark, replication=1, hot_rows=1).drop("route")
+    tables = kgmwcp.run(spark, docs, parser="foo",
+                        knowledge_base={"secret": "hello"}, n_buckets=8)
+    others = [r for r in tables["triples"].collect() if r["pred"] == "other"]
+    assert any("secret_using_external_knowledge" in r["obj"] for r in others)
+
+
+def test_cli_missing_input_exit_code(spark, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--input", "/nonexistent/path", "--output", "/tmp/x"], spark=spark)
+    assert exc.value.code == 1
