@@ -218,7 +218,17 @@ Tuning that got here (measured, see kgmwcp/session.py):
 """
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(md)
+    # BASELINE.md is the curated evidence document (authored, includes
+    # cross-run analysis); raw per-run output goes to last_run.md + runs.jsonl
+    (bench_dir / "last_run.md").write_text(md)
+    with (bench_dir / "runs.jsonl").open("a") as fh:
+        fh.write(json.dumps({
+            "efficiency": round(eff, 3),
+            "control_efficiency": round(ctrl_eff, 3),
+            "round_effs": [round(e, 3) for e in round_effs],
+            "best8_rate": best8["samples_per_sec"],
+            "best32_rate": best32["samples_per_sec"],
+        }) + "\n")
     print(json.dumps({
         "efficiency": round(eff, 3),
         "control_efficiency": round(ctrl_eff, 3),
