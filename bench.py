@@ -31,6 +31,8 @@ HEADLINE_OPS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "events_hourly",
     "text_quality",
     "text_lang_id",
     "ann_topk_bruteforce",
@@ -129,7 +131,7 @@ def run_pipeline_bench(spark, replicas: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    replicas = int(os.environ.get("KGMWCP_BENCH_REPLICAS", "40"))
+    replicas = int(os.environ.get("KGMWCP_BENCH_REPLICAS", "120"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     from kgmwcp.session import get_spark
