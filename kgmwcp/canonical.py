@@ -859,6 +859,69 @@ class Registry(Element):
         return self.subkey
 
 
+class Service(Element):
+    """Windows service (mwcp/metadata.py:2605-2641); post_processing emits
+    FilePath rows for image/dll like the reference."""
+
+    FIELDS = ("name", "display_name", "description", "image", "dll")
+
+    def __init__(self, name=None, display_name=None, description=None,
+                 image=None, dll=None):
+        super().__init__()
+        self.name = name
+        self.display_name = display_name
+        self.description = description
+        self.image = image
+        self.dll = dll
+
+    def post_processing(self, report) -> None:
+        # first-.exe path heuristic kept for legacy parity (metadata.py:2631-2641)
+        if self.image and ".exe" in self.image:
+            report.add(PathElement(
+                self.image[:self.image.find(".exe") + 4], is_dir=False))
+        if self.dll:
+            report.add(PathElement(self.dll, is_dir=False))
+
+
+class UUIDLegacy(Element):
+    """Unvalidated raw-string UUID (mwcp/metadata.py:1634-1650)."""
+
+    FIELDS = ("value",)
+    TYPE = "uuid_legacy"
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+class IntervalLegacy(Element):
+    """String-typed interval preserving original display (mwcp/metadata.py:1698-1715)."""
+
+    FIELDS = ("value",)
+    TYPE = "interval_legacy"
+
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+
+#: pred name -> element class for every vocabulary entry
+ELEMENT_CLASSES = {
+    "path": PathElement, "alphabet": Alphabet, "command": Command,
+    "credential": Credential, "crypto_address": CryptoAddress,
+    "scheduled_task": ScheduledTask, "socket": Socket, "url": URL,
+    "network": Network, "email_address": EmailAddress, "event": Event,
+    "uuid": UUIDElement, "uuid_legacy": UUIDLegacy,
+    "injection_process": InjectionProcess, "interval": Interval,
+    "interval_legacy": IntervalLegacy, "encryption_key": EncryptionKey,
+    "decoded_string": DecodedString2, "mission_id": MissionID,
+    "mutex": Mutex, "other": Other, "pipe": Pipe, "registry": Registry,
+    "rsa_private_key": RSAPrivateKey, "rsa_public_key": RSAPublicKey,
+    "service": Service, "ssl_cert_sha1": SSLCertSHA1,
+    "user_agent": UserAgent, "version": Version, "file": FileElement,
+}
+
+
 def canonical_obj(element: Element) -> str:
     """Triple ``obj`` string for an element."""
     return element.canonical()

@@ -213,3 +213,28 @@ class TestStringUtils:
         from kgmwcp.engine.strings import collision_safe_name
 
         assert collision_safe_name("5eb63bbbe01e", "a:b.txt") == "5eb63_ab.txt"
+
+
+class TestVocabularyComplete:
+    def test_every_pred_has_an_element_class(self):
+        """The full reference pred vocabulary (SURVEY §1.3) is covered."""
+        assert set(md.ELEMENT_CLASSES) == set(md.PRED_VOCABULARY)
+        for pred, cls in md.ELEMENT_CLASSES.items():
+            assert cls.type_name() == pred, pred
+
+    def test_service_post_processing_emits_paths(self):
+        from kgmwcp.engine.dispatcher import ExtractionEngine, ReportContext
+
+        ctx = ReportContext(ExtractionEngine(), {})
+
+        class FakeFile:
+            pass
+
+        src = FakeFile()
+        ctx.set_file(src)
+        ctx.add(md.Service(name="Updater", image="C:\\sys\\svohost.exe /arg",
+                           dll="C:\\sys\\bad.dll"))
+        preds = [e.type_name() for e in ctx._metadata[id(src)]]
+        assert preds == ["service", "path", "path"]
+        paths = [e.path for e in ctx._metadata[id(src)] if e.type_name() == "path"]
+        assert paths == ["C:\\sys\\svohost.exe", "C:\\sys\\bad.dll"]
