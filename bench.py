@@ -65,6 +65,37 @@ def bench_corpus(spark, replicas: int):
     )
 
 
+def heavy_corpus(spark, replicas: int, distinct: int = 2000,
+                 inner_kb: int = 24):
+    """Decrypt-heavy scaling corpus: Defender-quarantine rows whose
+    extraction runs a pure-python RC4 pass over ~24 KB each (~4.4 ms/row
+    per core) — the reference's dominant parser family (Quarantined.py)
+    and the highest python-work-per-byte path in the registry. Distinct
+    payloads are built driver-side (they must be encrypted with the real
+    keystream); replicas multiply them Spark-side."""
+    import base64
+
+    from kgmwcp import fixtures
+
+    rows = []
+    for i in range(distinct):
+        inner = (f"payload {i}\n" + "x" * (inner_kb * 1024)).encode()
+        enc = fixtures.defender_payload(inner, variant="0bad")
+        rows.append((
+            f"repo-{i % 32:03d}", f"q{i}/entry.dat", f"{i:040x}",
+            "binary-b64", base64.b64encode(enc).decode("ascii"), None,
+        ))
+    base = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, route string")
+    reps = spark.range(replicas).select(F.col("id").alias("replica"))
+    return (
+        base.crossJoin(reps)
+        .withColumn("path", F.concat_ws("/", F.col("replica").cast("string"), "path"))
+        .drop("replica")
+    )
+
+
 def pad_text_rows(corpus, lines: int = 600):
     """Pad text rows to ~28 KB with deterministic scannable filler —
     fixture payloads are ~1 KB which is unrealistically small for malware

@@ -28,13 +28,13 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 _CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cpus = int(sys.argv[1]); replicas = int(sys.argv[2])
 from pyspark.sql import functions as F
 from kgmwcp.session import get_spark
 from kgmwcp.pipeline import Pipeline, PipelineConfig
-from bench import bench_corpus, pad_text_rows
+from bench import bench_corpus, heavy_corpus, pad_text_rows
 
 spark = get_spark("kgmwcp-scaling", master=f"local[{{cpus}}]")
 spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +42,10 @@ spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
 pipe = Pipeline(PipelineConfig(n_buckets=256, extract_partitions=cpus * 3,
                                knowledge_base={{"secret": "hello"}}))
-corpus = pad_text_rows(bench_corpus(spark, replicas))
+if os.environ.get("KGMWCP_SCALING_HEAVY"):
+    corpus = heavy_corpus(spark, replicas)
+else:
+    corpus = pad_text_rows(bench_corpus(spark, replicas))
 # cache exactly the pruned extract input: caching the full samples row
 # (content string + content_bin + identity columns) doubles the per-trial
 # JVM scan + Arrow cost and drowns the python stage's scaling
