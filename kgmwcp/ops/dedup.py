@@ -83,29 +83,67 @@ WITH toks AS (
 
 
 # -- MinHash + LSH banding -------------------------------------------------------
-# signature: per seed s, min over shingles of md5(s || '|' || shingle) — a
-# valid min-wise hash family; band key = concat of 2 signature halves.
+# Production-grade signature: 128 min-hashes / 16 bands x 8 rows (the
+# standard near-dup operating point).  One md5 per shingle gives a 60-bit
+# base integer b; hash i is the affine permutation (A_i * b + B_i) mod P
+# with P = 2^31 - 1 (Mersenne prime) — A_i*b <= (P-1)^2 < 2^63, so the
+# arithmetic is exact int64 on BOTH engines (md5 + integer math is the
+# portable subset; Spark hash()/xxhash64 are not reproducible in DuckDB).
+# A hot-band cap (window count <= _BAND_CAP) drops degenerate bands (e.g.
+# a million identical docs sharing one band key) before the self-join —
+# without it one hot band makes the candidate join quadratic at 100 TB.
 
-_SEEDS = ["s1", "s2", "s3", "s4"]
+_MINHASH_P = 2147483647
+_N_HASHES = 128
+_N_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_BAND_CAP = 64
+
+
+def _affine_coeffs() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1234567)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(_N_HASHES)
+    ]
+
+
+_COEFFS = _affine_coeffs()
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     exploded = _shingles_exploded(docs)
-    aggs = [
-        F.min(F.md5(F.encode(F.concat_ws("|", F.lit(s), F.col("shingle")), "utf-8")))
-        .alias(f"mh_{s}")
-        for s in _SEEDS
-    ]
-    sig = exploded.groupBy("doc_id").agg(*aggs)
-    banded = sig.select(
-        "doc_id",
-        F.concat_ws("#", "mh_s1", "mh_s2").alias("band0"),
-        F.concat_ws("#", "mh_s3", "mh_s4").alias("band1"),
+    base = (
+        F.conv(F.substring(F.md5(F.encode(F.col("shingle"), "utf-8")), 1, 15), 16, 10)
+        .cast("long") % F.lit(_MINHASH_P)
     )
-    b0 = banded.select("doc_id", F.col("band0").alias("band_key"))
-    b1 = banded.select("doc_id", F.col("band1").alias("band_key"))
-    bands = b0.unionByName(b1)
+    based = exploded.select("doc_id", base.alias("b"))
+    aggs = [
+        F.min((F.lit(a) * F.col("b") + F.lit(c)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, c) in enumerate(_COEFFS)
+    ]
+    sig = based.groupBy("doc_id").agg(*aggs)
+    band_keys = [
+        F.concat_ws(
+            "-",
+            F.lit(str(j)),
+            *[F.col(f"mh_{j * _ROWS_PER_BAND + k}").cast("string")
+              for k in range(_ROWS_PER_BAND)],
+        )
+        for j in range(_N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    w = Window.partitionBy("band_key")
+    bands = (
+        bands.withColumn("bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("bc") <= _BAND_CAP)
+        .drop("bc")
+    )
     pairs = (
         bands.alias("a")
         .join(bands.alias("b"), "band_key")
@@ -119,20 +157,38 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return pairs
 
 
-SQL_DEDUP_MINHASH_LSH = _SQL_SHINGLES_CTE + """
+def _sql_dedup_minhash_lsh() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * b + {c}) % {_MINHASH_P}) AS mh_{i}"
+        for i, (a, c) in enumerate(_COEFFS)
+    )
+    keys = ", ".join(
+        "'{j}-' || ".format(j=j)
+        + " || '-' || ".join(
+            f"CAST(mh_{j * _ROWS_PER_BAND + k} AS VARCHAR)"
+            for k in range(_ROWS_PER_BAND)
+        )
+        for j in range(_N_BANDS)
+    )
+    return _SQL_SHINGLES_CTE + f"""
 , exploded AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), based AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS b
+  FROM exploded
 ), sig AS (
   SELECT doc_id,
-         min(md5('s1' || '|' || shingle)) AS mh_s1,
-         min(md5('s2' || '|' || shingle)) AS mh_s2,
-         min(md5('s3' || '|' || shingle)) AS mh_s3,
-         min(md5('s4' || '|' || shingle)) AS mh_s4
-  FROM exploded GROUP BY doc_id
+         {mins}
+  FROM based GROUP BY doc_id
+), bands_raw AS (
+  SELECT doc_id, unnest([{keys}]) AS band_key FROM sig
 ), bands AS (
-  SELECT doc_id, mh_s1 || '#' || mh_s2 AS band_key FROM sig
-  UNION ALL
-  SELECT doc_id, mh_s3 || '#' || mh_s4 AS band_key FROM sig
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands_raw
+  ) WHERE bc <= {_BAND_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_key)
@@ -140,9 +196,19 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+SQL_DEDUP_MINHASH_LSH = _sql_dedup_minhash_lsh()
+
+
 # -- SimHash ----------------------------------------------------------------------
-# 16-bit simhash over tokens; bit b set when the +1/-1 vote over token-hash
-# bit b is positive.  Token hash = first 16 bits of md5 (portable).
+# 60-bit simhash over tokens; bit b set when the +1/-1 vote over token-hash
+# bit b is positive.  Token hash = first 15 hex digits of md5 = 60 bits —
+# the widest prefix that parses into a SIGNED int64 on both engines (16 hex
+# digits overflow BIGINT when the top bit is set; Spark's conv→cast would
+# null out and DuckDB would error).  2^60 hash space fixes the round-1
+# 16-bit version's heavy collisions at web scale.
+
+_SIMHASH_BITS = 60
+
 
 def q_dedup_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -150,17 +216,17 @@ def q_dedup_simhash(spark, sf_dir):
         "doc_id",
         F.explode(F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")).alias("token"),
     )
-    h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "utf-8")), 1, 4), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "utf-8")), 1, 15), 16, 10).cast("long")
     hashed = toks.withColumn("h", h)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(16)
+        for b in range(_SIMHASH_BITS)
     ]
     voted = hashed.groupBy("doc_id").agg(*votes)
     simhash = None
-    for b in range(16):
+    for b in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = bit if simhash is None else (simhash + bit)
     return voted.select("doc_id", simhash.cast("long").alias("simhash"))
@@ -174,7 +240,7 @@ WITH toks AS (
   FROM documents
 ), hashed AS (
   SELECT doc_id,
-         ('0x' || substr(md5(token), 1, 4))::BIGINT AS h
+         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
   FROM toks
 ), voted AS (
   SELECT doc_id,
@@ -185,10 +251,10 @@ SELECT doc_id, ({bits})::BIGINT AS simhash FROM voted
 """.format(
     votes=",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(16)
+        for b in range(_SIMHASH_BITS)
     ),
     bits=" + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
     ),
 )
 

@@ -178,16 +178,21 @@ GROUP BY n_name
 # --------------------------------------------------------------------------
 
 def q_parsed_files_antijoin(spark, sf_dir):
+    # "Already parsed" = customers with at least one finished ('F') order;
+    # the anti-join keeps the not-yet-parsed remainder.  Keyed on the
+    # finished subset so the result is non-empty at every SF (71 rows at
+    # sf0.01) — an anti-join that always returns 0 rows proves nothing.
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        finished, cust.c_custkey == finished.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
 SQL_PARSED_FILES_ANTIJOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
 """
 
 
@@ -286,9 +291,9 @@ def q_legacy_pivot(spark, sf_dir):
 
 SQL_LEGACY_PIVOT = """
 SELECT o_custkey,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_custkey
 """
 
