@@ -248,9 +248,10 @@ class PowerShellScript(Rule):
 
 
 # --------------------------------------------------------------------------
-# Quarantined group (reference mwcp/parsers/Quarantined.py; only the
-# pure-XOR SymantecQB variant is implemented in v0 — the Blowfish/RC4/OLE
-# variants need crypto/olefile deps not present in this environment)
+# Quarantined group (reference mwcp/parsers/Quarantined.py): McAfee (OLE
+# XOR), Defender (RC4), SymantecQB (XOR), SymantecSubSDK (Blowfish),
+# AhnLab (cycled XOR) and Avast_AVG — all on our own cfb/crypto readers,
+# no pycryptodome/olefile.
 # --------------------------------------------------------------------------
 
 # Known decoded-header probes (Quarantined.py:132-139) — public format magics.
@@ -438,6 +439,34 @@ class AhnLab(Rule):
         arr = np.frombuffer(data, dtype=np.uint8)
         keystream = np.resize(key, len(arr))
         ctx.dispatch(SampleFile(np.bitwise_xor(arr, keystream).tobytes()))
+
+
+class AvastAVG(Rule):
+    """Avast/AVG chest quarantine: ``-chest- `` prefix, then the payload
+    XORed against the public 5120-byte key table, the key cycle restarting
+    at every 0x10000-byte block boundary (Quarantined.py:259-563)."""
+
+    DESCRIPTION = "Avast or AVG"
+    BLOCK_SIZE = 0x10000
+
+    @classmethod
+    def identify(cls, f):
+        return f.data.startswith(b"-chest- ")
+
+    def run(self, f, ctx):
+        import numpy as np
+
+        from kgmwcp.engine.avastkey import AVAST_KEY
+
+        data = f.data[8:]
+        key = np.frombuffer(AVAST_KEY, dtype=np.uint8)
+        out = bytearray()
+        # the reference re-cycles the key from offset 0 at each block, so a
+        # block-spanning payload is NOT a single continuous keystream
+        for off in range(0, len(data), self.BLOCK_SIZE):
+            block = np.frombuffer(data[off:off + self.BLOCK_SIZE], dtype=np.uint8)
+            out += np.bitwise_xor(block, np.resize(key, len(block))).tobytes()
+        ctx.dispatch(SampleFile(bytes(out)))
 
 
 class SymantecQB(Rule):
@@ -894,7 +923,7 @@ RULE_GROUPS = {
     "GenericDropper": [DropperOverlay, DropperRSRC],
     "ISO": [ISOImageFile],
     "Python": [PyInstaller],
-    "Quarantined": [McAfee, Defender, SymantecQB, SymantecSubSDK, AhnLab],
+    "Quarantined": [McAfee, Defender, SymantecQB, SymantecSubSDK, AhnLab, AvastAVG],
     "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
     "VisualBasic": [EncodedASP, VBE, VBScript],
     "foo": [Foo],

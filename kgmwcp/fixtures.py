@@ -270,6 +270,8 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
                 f"C:\\Users\\victim{i}\\evil.pdf")))
         add("defender_q", i, f"q{i}/entry.dat", "binary-b64",
             _b64(defender_payload((VBS_TEXT + vb).encode(), variant="0bad")))
+        add("avast_chest", i, f"q{i}/chest.dat", "binary-b64",
+            _b64(avast_payload((PDF_TEXT + v).encode())))
         add("dropper_overlay", i, f"b{i}/drop.exe", "binary-b64",
             _b64(dropper_overlay_payload(i)))
         add("pem_cert", i, f"k{i}/cert.pem", "pem", cert_pem() + f"# {i}\n")
@@ -345,6 +347,22 @@ def pyinstaller_payload(script: bytes, variant: int = 0) -> bytes:
         ">IIII", package_size, len(data_blob), len(entries), 37
     ) + b"python37.dll".ljust(64, b"\x00")
     return data_blob + toc + cookie
+
+
+def avast_payload(inner: bytes) -> bytes:
+    """Avast chest fixture: XOR is its own inverse, so encrypting is the
+    same per-64KiB-block keystream walk the parser undoes
+    (Quarantined.py:548-563)."""
+    from itertools import cycle
+
+    from kgmwcp.engine.avastkey import AVAST_KEY
+
+    block_size = 0x10000
+    enc = bytearray()
+    for off in range(0, len(inner), block_size):
+        enc += bytes(d ^ k for d, k in zip(inner[off:off + block_size],
+                                           cycle(AVAST_KEY)))
+    return b"-chest- " + bytes(enc)
 
 
 def subsdk_payload(inner: bytes, key: bytes = b"0123456789abcdef") -> bytes:

@@ -92,6 +92,12 @@ class CheckpointedRun:
             (
                 records.repartition("bucket")
                 .write.mode("overwrite")
+                # per-write dynamic overwrite: resume must replace only the
+                # re-processed buckets even on a session that didn't set
+                # spark.sql.sources.partitionOverwriteMode=dynamic — with
+                # static mode a resume would wipe every committed bucket
+                # while the manifest still marks them done.
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(self.records_path)
             )

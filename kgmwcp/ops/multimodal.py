@@ -46,14 +46,22 @@ def decode_real(payload: bytes, media_type: str):
 
 
 def fake_decode_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Deterministic stand-in for a decode: metadata derived from bytes."""
+    """Deterministic stand-in for a decode: metadata derived from bytes.
+
+    ``channels`` hashes the payload (md5 first byte) rather than reading
+    ``payload[0]`` directly: the first *byte* of UTF-8 text and the first
+    *codepoint* the SQL oracle can reach diverge on non-ASCII-leading
+    text, while md5-of-bytes is computed identically on both engines.
+    """
+    import hashlib
+
     n_bytes = payloads.map(len)
-    first = payloads.map(lambda b: b[0] if len(b) else 0)
+    h1 = payloads.map(lambda b: int(hashlib.md5(b).hexdigest()[:2], 16))
     return pd.DataFrame({
         "n_bytes": n_bytes.astype("int64"),
         "width": ((n_bytes % 640) + 16).astype("int32"),
         "height": ((n_bytes % 480) + 16).astype("int32"),
-        "channels": ((first % 3) + 1).astype("int32"),
+        "channels": ((h1 % 3) + 1).astype("int32"),
     })
 
 
@@ -92,7 +100,7 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        ((octet_length(encode(text)) % 640) + 16)::INT AS width,
        ((octet_length(encode(text)) % 480) + 16)::INT AS height,
-       ((ascii(substr(text, 1, 1)) % 3) + 1)::INT AS channels
+       ((('0x' || substr(md5(text), 1, 2))::INT % 3) + 1)::INT AS channels
 FROM documents
 """
 

@@ -37,17 +37,34 @@ def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
         .groupBy("root_sha256")
         .agg(F.array_sort(F.collect_set("entry")).alias("entries"))
     )
+    # identical content can arrive under several (repo, path, commit) rows;
+    # pick provenance deterministically (min over the provenance struct)
+    # instead of dropDuplicates' arbitrary first-seen row, so report_json
+    # is stable across runs and partitionings.
     roots = (
         files_of(records)
         .filter(F.col("depth") == 0)
-        .select(
-            F.col("sha256").alias("root_sha256"),
-            F.col("md5").alias("input_md5"),
-            F.col("name").alias("input_name"),
-            F.col("description").alias("input_description"),
-            "repo", "path", "commit", "parser",
+        .groupBy(F.col("sha256").alias("root_sha256"))
+        .agg(
+            F.min(
+                F.struct(
+                    "repo", "path", "commit", "parser",
+                    F.col("md5").alias("input_md5"),
+                    F.col("name").alias("input_name"),
+                    F.col("description").alias("input_description"),
+                )
+            ).alias("prov")
         )
-        .dropDuplicates(["root_sha256"])
+        .select(
+            "root_sha256",
+            F.col("prov.input_md5").alias("input_md5"),
+            F.col("prov.input_name").alias("input_name"),
+            F.col("prov.input_description").alias("input_description"),
+            F.col("prov.repo").alias("repo"),
+            F.col("prov.path").alias("path"),
+            F.col("prov.commit").alias("commit"),
+            F.col("prov.parser").alias("parser"),
+        )
     )
     joined = roots.join(grouped, "root_sha256", "left")
     entries = F.coalesce(F.col("entries"), F.array().cast("array<string>"))

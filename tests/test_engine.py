@@ -438,6 +438,33 @@ class TestQuarantineAhnLab:
         assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
 
 
+class TestQuarantineAvast:
+    def test_chest_extraction(self):
+        from kgmwcp import fixtures
+
+        inner = b"%PDF-1.4 stream http://avast.example.com/x end"
+        data = fixtures.avast_payload(inner)
+        result = run(data, name="chest.dat")
+        assert result.files[0].description == "Avast or AVG"
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
+        assert files[0]["description"] == "PDF Document"
+
+    def test_chest_block_boundary_key_restart(self):
+        # the key cycle restarts at each 0x10000 block: a payload spanning
+        # the boundary must NOT decrypt as one continuous keystream
+        from kgmwcp import fixtures
+        from kgmwcp.engine.avastkey import AVAST_KEY
+
+        inner = b"%PDF-1.4 " + bytes((i * 7) % 256 for i in range(0x10000 + 512))
+        data = fixtures.avast_payload(inner)
+        # sanity on the fixture itself: byte at block start uses key[0]
+        assert data[8 + 0x10000] == inner[0x10000] ^ AVAST_KEY[0]
+        result = run(data, name="big.chest")
+        files = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        assert files[0]["sha256"] == hashlib.sha256(inner).hexdigest()
+
+
 class TestPyInstaller:
     def test_carchive_extraction(self):
         from kgmwcp import fixtures

@@ -139,6 +139,12 @@ def build_golden() -> set:
     child_name = hashlib.md5(decoded).hexdigest() + ".bin"
     golden.add((sha(dq), "file", j(file_obj(child_name, "VBScript", decoded))))
 
+    # avast_chest: decrypted child == the pdf_iocs payload (its IOC bundle
+    # is already golden under the same subject via pdf_iocs/qb_xor)
+    av = fixtures.avast_payload(pdf)
+    child_name = hashlib.md5(pdf).hexdigest() + ".bin"
+    golden.add((sha(av), "file", j(file_obj(child_name, "PDF Document", pdf))))
+
     # dropper_overlay: embedded PE child with arch-suffixed stub name +
     # PE metadata on the File element
     inner = fixtures.inner_pe(0)
