@@ -799,6 +799,67 @@ class RSAPrivateKeyRule(Rule):
                 ctx.log_error(f"Failed to extract RSA private key: {exc}")
 
 
+class RSAKeyBlob(Rule):
+    """MS CryptoAPI PRIVATEKEYBLOB/PUBLICKEYBLOB key extraction — the key
+    form malware configs carry at least as often as PEM
+    (mwcp/metadata.py:2377-2404, layout windows_structures.py:253-290)."""
+
+    DESCRIPTION = "RSA Key BLOB"
+
+    @classmethod
+    def identify(cls, f):
+        from kgmwcp.engine import msblob
+
+        return msblob.PRIVATE_SIG in f.data or msblob.PUBLIC_SIG in f.data
+
+    def run(self, f, ctx):
+        from kgmwcp.engine import msblob
+
+        for sig, parse, element in (
+            (msblob.PRIVATE_SIG, msblob.parse_private_blob, md.RSAPrivateKey),
+            (msblob.PUBLIC_SIG, msblob.parse_public_blob, md.RSAPublicKey),
+        ):
+            start = 0
+            while (idx := f.data.find(sig, start)) != -1:
+                start = idx + len(sig)
+                if idx < 4:
+                    continue  # no room for type/version/reserved prefix
+                try:
+                    ctx.add(element(**parse(f.data[idx - 4:])))
+                except ValueError as exc:
+                    ctx.log_error(f"Failed to parse RSA key BLOB: {exc}")
+
+
+_RSA_XML_RE = re.compile(rb"<RSAKeyValue>.*?</RSAKeyValue>", re.DOTALL)
+
+
+class RSAKeyXML(Rule):
+    """.NET ``RSA.FromXmlString`` serialized key extraction
+    (mwcp/metadata.py:2405-2440,2293-2317); falls back to a public key
+    when no private component is present (from_XML(fallback=True))."""
+
+    DESCRIPTION = "RSA Key XML"
+
+    @classmethod
+    def identify(cls, f):
+        return bool(_RSA_XML_RE.search(f.data))
+
+    def run(self, f, ctx):
+        from kgmwcp.engine import msblob
+
+        for match in _RSA_XML_RE.finditer(f.data):
+            try:
+                fields, is_private = msblob.parse_rsa_xml(
+                    match.group().decode("utf-8", errors="replace"))
+            except ValueError as exc:
+                ctx.log_error(f"Failed to parse RSA key XML: {exc}")
+                continue
+            if is_private:
+                ctx.add(md.RSAPrivateKey(**fields))
+            else:
+                ctx.add(md.RSAPublicKey(**fields))
+
+
 # --------------------------------------------------------------------------
 # VisualBasic group (reference mwcp/parsers/VisualBasic.py)
 # --------------------------------------------------------------------------
@@ -924,7 +985,7 @@ RULE_GROUPS = {
     "ISO": [ISOImageFile],
     "Python": [PyInstaller],
     "Quarantined": [McAfee, Defender, SymantecQB, SymantecSubSDK, AhnLab, AvastAVG],
-    "RSA": [RSADigitalCertificate, RSAPrivateKeyRule],
+    "RSA": [RSADigitalCertificate, RSAPrivateKeyRule, RSAKeyBlob, RSAKeyXML],
     "VisualBasic": [EncodedASP, VBE, VBScript],
     "foo": [Foo],
 }

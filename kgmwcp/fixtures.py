@@ -200,6 +200,46 @@ def privkey_der() -> bytes:
     )
 
 
+def privkey_blob() -> bytes:
+    """MS PRIVATEKEYBLOB fixture from the same CRT parameters as the PEM
+    key (inverse of msblob.parse_private_blob; layout per the public
+    CryptoAPI docs restated in windows_structures.py:271-290)."""
+    import struct
+
+    bitlen, full, half = 256, 32, 16
+    blob = bytes([0x07, 0x02, 0x00, 0x00])          # type, version, reserved
+    blob += struct.pack("<I", 0x0000A400)            # CALG_RSA_KEYX
+    blob += b"RSA2" + struct.pack("<II", bitlen, CERT_EXPONENT)
+    for value, size in (
+        (KEY_N, full), (KEY_P, half), (KEY_Q, half),
+        (KEY_D % (KEY_P - 1), half), (KEY_D % (KEY_Q - 1), half),
+        (pow(KEY_Q, -1, KEY_P), half), (KEY_D, full),
+    ):
+        blob += value.to_bytes(size, "little")
+    return blob
+
+
+def rsa_xml_key(private: bool = True) -> str:
+    """.NET RSA.ToXmlString-shaped fixture for the same key material."""
+    def b64(value: int, size: int) -> str:
+        return base64.b64encode(value.to_bytes(size, "big")).decode("ascii")
+
+    parts = [
+        f"<Modulus>{b64(KEY_N, 32)}</Modulus>",
+        f"<Exponent>{b64(CERT_EXPONENT, 3)}</Exponent>",
+    ]
+    if private:
+        parts += [
+            f"<P>{b64(KEY_P, 16)}</P>",
+            f"<Q>{b64(KEY_Q, 16)}</Q>",
+            f"<DP>{b64(KEY_D % (KEY_P - 1), 16)}</DP>",
+            f"<DQ>{b64(KEY_D % (KEY_Q - 1), 16)}</DQ>",
+            f"<InverseQ>{b64(pow(KEY_Q, -1, KEY_P), 16)}</InverseQ>",
+            f"<D>{b64(KEY_D, 32)}</D>",
+        ]
+    return "<RSAKeyValue>" + "".join(parts) + "</RSAKeyValue>"
+
+
 def _pem(der_bytes: bytes, label: str) -> str:
     body = base64.b64encode(der_bytes).decode("ascii")
     lines = [body[i:i + 64] for i in range(0, len(body), 64)]
@@ -276,6 +316,10 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
             _b64(dropper_overlay_payload(i)))
         add("pem_cert", i, f"k{i}/cert.pem", "pem", cert_pem() + f"# {i}\n")
         add("pem_privkey", i, f"k{i}/key.pem", "pem", privkey_pem() + f"# {i}\n")
+        add("rsa_blob", i, f"k{i}/key.blob", "binary-b64",
+            _b64(privkey_blob() + f"pad{i}".encode()))
+        add("rsa_xml", i, f"k{i}/key.xml", "text",
+            rsa_xml_key() + f"<!-- {i} -->\n")
         add("foo_any", i, f"f{i}/anything.txt", "text", FOO_TEXT + v, route="foo")
         add("unidentified", i, f"u{i}/blob.txt", "text", PLAIN_TEXT + v)
         # dup_pair: identical content, different repo/path -> same sha256

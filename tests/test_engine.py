@@ -294,6 +294,75 @@ class TestRSA:
         result = run(data, name="cert.pem")
         assert not any(p == "rsa_public_key" for _, p, _ in result.triples)
 
+    def _expected_private(self):
+        from kgmwcp import fixtures
+
+        return {
+            "public_exponent": 65537,
+            "modulus": fixtures.KEY_N,
+            "private_exponent": fixtures.KEY_D,
+            "p": fixtures.KEY_P,
+            "q": fixtures.KEY_Q,
+            "d_mod_p1": fixtures.KEY_D % (fixtures.KEY_P - 1),
+            "d_mod_q1": fixtures.KEY_D % (fixtures.KEY_Q - 1),
+            "q_inv_mod_p": pow(fixtures.KEY_Q, -1, fixtures.KEY_P),
+            "tags": [],
+        }
+
+    def test_privatekeyblob_extraction(self):
+        # blob embedded mid-payload: the signature scan must find it
+        from kgmwcp import fixtures
+
+        data = b"\x90" * 33 + fixtures.privkey_blob() + b"trailing"
+        result = run(data, name="key.blob")
+        assert result.files[0].description == "RSA Key BLOB"
+        keys = [json.loads(o) for _, p, o in result.triples
+                if p == "rsa_private_key"]
+        assert keys == [self._expected_private()]
+
+    def test_publickeyblob_extraction(self):
+        import struct
+        from kgmwcp import fixtures
+
+        blob = (bytes([0x06, 0x02, 0x00, 0x00]) + struct.pack("<I", 0xA400)
+                + b"RSA1" + struct.pack("<II", 256, 65537)
+                + fixtures.KEY_N.to_bytes(32, "little"))
+        result = run(blob, name="pub.blob")
+        keys = [json.loads(o) for _, p, o in result.triples
+                if p == "rsa_public_key"]
+        assert keys == [{"public_exponent": 65537,
+                         "modulus": fixtures.KEY_N, "tags": []}]
+
+    def test_truncated_blob_logs_error(self):
+        from kgmwcp import fixtures
+
+        data = b"\x00" * 8 + fixtures.privkey_blob()[:40]
+        result = run(data, name="trunc.blob")
+        assert not any(p == "rsa_private_key" for _, p, _ in result.triples)
+        assert any("RSA key BLOB" in e for e in result.errors)
+
+    def test_xml_private_key_extraction(self):
+        from kgmwcp import fixtures
+
+        data = ("config: " + fixtures.rsa_xml_key() + " tail").encode()
+        result = run(data, name="key.xml")
+        assert result.files[0].description == "RSA Key XML"
+        keys = [json.loads(o) for _, p, o in result.triples
+                if p == "rsa_private_key"]
+        assert keys == [self._expected_private()]
+
+    def test_xml_public_fallback(self):
+        # no private components -> RSAPublicKey (from_XML fallback=True)
+        from kgmwcp import fixtures
+
+        data = fixtures.rsa_xml_key(private=False).encode()
+        result = run(data, name="pub.xml")
+        keys = [json.loads(o) for _, p, o in result.triples
+                if p == "rsa_public_key"]
+        assert keys == [{"public_exponent": 65537,
+                         "modulus": fixtures.KEY_N, "tags": []}]
+        assert not any(p == "rsa_private_key" for _, p, _ in result.triples)
+
 
 class TestQuarantineMcAfee:
     def test_bup_extraction(self):

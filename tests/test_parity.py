@@ -172,16 +172,22 @@ def build_golden() -> set:
     ]:
         golden.add((sha(cert), "other", j(other_obj(key, value))))
 
-    # pem_privkey
-    key_pem = (fixtures.privkey_pem() + "# 0\n").encode()
-    golden.add((sha(key_pem), "rsa_private_key", j({
+    # pem_privkey / rsa_blob / rsa_xml: three key containers, identical
+    # CRT payload (the BLOB and XML forms must land on the same element)
+    privkey_payload = j({
         "public_exponent": 65537, "modulus": fixtures.KEY_N,
         "private_exponent": fixtures.KEY_D, "p": fixtures.KEY_P,
         "q": fixtures.KEY_Q,
         "d_mod_p1": fixtures.KEY_D % (fixtures.KEY_P - 1),
         "d_mod_q1": fixtures.KEY_D % (fixtures.KEY_Q - 1),
         "q_inv_mod_p": pow(fixtures.KEY_Q, -1, fixtures.KEY_P),
-        "tags": []})))
+        "tags": []})
+    key_pem = (fixtures.privkey_pem() + "# 0\n").encode()
+    golden.add((sha(key_pem), "rsa_private_key", privkey_payload))
+    key_blob = fixtures.privkey_blob() + b"pad0"
+    golden.add((sha(key_blob), "rsa_private_key", privkey_payload))
+    key_xml = (fixtures.rsa_xml_key() + "<!-- 0 -->\n").encode()
+    golden.add((sha(key_xml), "rsa_private_key", privkey_payload))
 
     # foo_any (routed, knowledge_base {"secret": "hello"})
     foo = (fixtures.FOO_TEXT + v).encode()
