@@ -179,7 +179,8 @@ class TestPoshDeob:
         assert "'http://bad.com'" in out
 
     def test_backtick_strip(self):
-        # `p is not a PS escape char -> backtick stripped; `t stays TAB
+        # backtick escape strips before any char (reference sets
+        # convertWhitespaceEscapes=False, mwcp/utils/poshdeob.py:127-130)
         out, _ = posh.deobfuscate('("htt`p")')
         assert "'http'" in out
 
@@ -193,6 +194,69 @@ class TestPoshDeob:
         out, strings = posh.deobfuscate(code)
         assert out == code
         assert strings == []
+
+    # -- golden parity: the reference grammar's own doctest vectors
+    # (mwcp/utils/poshdeob.py:103-125, _gen_parser docstring), hand-derived
+    # expected values; parse_value is our parseString analogue.
+
+    def test_ref_vector_format(self):
+        assert posh.parse_value("'{1} {0}'-f 'world','hello'") == "hello world"
+
+    def test_ref_vector_replace_chain_chars(self):
+        code = ("'fGshellolNRfGs'-rEplaCE  ((([cHaR]108+[cHaR]78+[cHaR]82)))"
+                ",'!' .rePLace('fGs',[cHaR]96)")
+        assert posh.parse_value(code) == "`hello!`"
+
+    def test_ref_vector_split_chain(self):
+        assert posh.parse_value("'ATBZCFD'-spLIT 'Z'-SPLIT'T'  -spLiT 'F'") == [
+            "A", "B", "C", "D"]
+
+    def test_ref_vector_variable_indexing(self):
+        assert posh.parse_value("$ENv:PuBlIc[13]") == "i"
+
+    def test_ref_vector_binary_join(self):
+        assert posh.parse_value("('h', 'e', 'l', 'lo')-JOIn ''") == "hello"
+
+    def test_ref_vector_backtick_in_single_quotes(self):
+        assert posh.parse_value("'he`llo'") == "hello"
+
+    def test_ref_vector_method_replace_backtick(self):
+        assert posh.parse_value("'FOtestingFO'.RePLaCE('FO','`')") == "`testing`"
+
+    def test_unary_join_forms(self):
+        out, strings = posh.deobfuscate("IEX (-join('c','alc','.exe'))")
+        assert out == "IEX 'calc.exe'"
+        assert strings == ["calc.exe"]
+        out, _ = posh.deobfuscate("[string]::join('x','y')")
+        assert out == "'xy'"
+
+    def test_split_then_join(self):
+        assert posh.parse_value("'a;b;c' -split ';' -join '-'") == "a-b-c"
+
+    def test_regex_replace_semantics(self):
+        # -replace is regex + IGNORECASE; -creplace is case-sensitive
+        assert posh.parse_value("'zZz' -replace 'z+','Q'") == "Q"
+        assert posh.parse_value("'zZz' -creplace 'z+','Q'") == "QZQ"
+
+    def test_string_cast_suppressed(self):
+        assert posh.parse_value("[string]'abc'") == "abc"
+        assert posh.parse_value("([string]('ab'+'c'))") == "abc"
+
+    def test_multi_indexing(self):
+        assert posh.parse_value("('calc'+'.exe')[0,1,2]") == ["c", "a", "l"]
+
+    def test_backtick_emission_roundtrip_stable(self):
+        # divergence from the reference, documented in posh.py: emitted
+        # literals double backticks so the fixpoint cannot corrupt them
+        out, strings = posh.deobfuscate("'FOtestingFO'.RePLaCE('FO','`')")
+        assert strings == ["`testing`"]
+        out2, _ = posh.deobfuscate(out)
+        assert out2 == out
+
+    def test_bytes_input_latin1(self):
+        out, strings = posh.deobfuscate(b"('h'+'i')")
+        assert out == "'hi'"
+        assert strings == ["hi"]
 
 
 class TestStringUtils:
