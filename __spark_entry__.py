@@ -74,6 +74,24 @@ def _pipeline_fixture_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.run(corpus)["nodes"]
 
 
+def _router_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 signature router on the fixture corpus: per-row route + signature
+    multi-matches, resolved entirely JVM-side (rows-only check; parity with
+    auto dispatch is pinned by tests/test_pipeline.py)."""
+    from kgmwcp import fixtures
+    from kgmwcp.stages.ingest import prepare_samples
+    from kgmwcp.stages.router import route_samples
+
+    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
+    routed = route_samples(prepare_samples(corpus, n_buckets=16))
+    return routed.select(
+        "path",
+        "route",
+        F.size("sig_matches").alias("n_sigs"),
+        F.array_join("sig_matches", ",").alias("sigs"),
+    )
+
+
 _SUITES = [_relational, _textops, _dedup, _similarity, _multimodal]
 
 
@@ -84,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # non-SQL-expressible pipeline ops (rows-only checks)
     out["pipeline_fixture_triples"] = _pipeline_fixture_triples
     out["pipeline_fixture_nodes"] = _pipeline_fixture_nodes
+    out["kg_router_routes"] = _router_routes
     return out
 
 

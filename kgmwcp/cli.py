@@ -50,6 +50,10 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                         help="JSON dict of external knowledge for parsers")
     parser.add_argument("--parser", default=None,
                         help="restrict routing to one parser group (default: auto)")
+    parser.add_argument("--router", action="store_true",
+                        help="enable the JVM signature router stage (YARA-routing "
+                             "analogue): byte signatures pre-route each root to "
+                             "its parser group")
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing checkpoint manifests")
     parser.add_argument("--streaming", action="store_true",
@@ -68,6 +72,7 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         n_buckets=args.buckets,
         extract_partitions=args.extract_partitions,
         knowledge_base=json.loads(args.knowledge_base),
+        use_router=args.router,
     )
     pipe = Pipeline(config)
 

@@ -171,18 +171,27 @@ class ExtractionEngine:
             self._identify_cache[key] = bool(identified)
         return identified, rest
 
-    def _candidate_rules(self, f: SampleFile, route: Optional[str]):
+    def _candidate_rules(self, f: SampleFile, route: Optional[str],
+                         route_scope: str = "all"):
         """Ordered (group, rule) candidates for a file.
 
         A child file is first offered to its origin group's rules (the
         nested-dispatcher locality of the reference), then to the rest of
-        the registry order.  Explicit routing restricts roots to one group
-        but children may still fall through to the full registry when the
-        routed group is 'auto'-like; with an explicit route, fall-through
-        stays within that group (reference: running a named parser group).
+        the registry order.  Explicit routing has two scopes:
+
+        * ``"all"`` (named-parser mode, reference: running a named parser
+          group) — every file in the tree is restricted to that group;
+        * ``"root"`` (signature-router mode, stages/router.py) — the route
+          is a *priority hint* for the root only: the routed group is
+          tried first, identify() failures fall through to the normal
+          registry order, and residual children re-enter auto dispatch
+          (the reference re-YARAs newly surfaced unidentified files,
+          mwcp/runner.py:210-214).
         """
-        if route:
+        if route and route_scope == "all":
             order = [route]
+        elif route and f.parent is None:
+            order = [route] + [g for g in self.group_order if g != route]
         else:
             order = list(self.group_order)
             origin = f.origin_group
@@ -222,7 +231,8 @@ class ExtractionEngine:
 
     def run(self, data: bytes, name: Optional[str] = None,
             route: Optional[str] = None,
-            knowledge_base: Optional[dict] = None) -> ExtractionResult:
+            knowledge_base: Optional[dict] = None,
+            route_scope: str = "all") -> ExtractionResult:
         """Process one root sample to fixpoint; returns triples + file tree."""
         root = SampleFile(data, name=name, output_file=False)
         ctx = ReportContext(self, knowledge_base or {})
@@ -239,7 +249,7 @@ class ExtractionEngine:
             processed.append(f)
 
             identified = False
-            for group, rule in self._candidate_rules(f, route):
+            for group, rule in self._candidate_rules(f, route, route_scope):
                 ok, run_args = self._identify(rule, f)
                 if not ok:
                     continue
@@ -249,8 +259,10 @@ class ExtractionEngine:
                         break  # non-greedy first-match (dispatcher.py:311-312)
 
             if not identified and not f.description:
-                # default UnidentifiedFile (dispatcher.py:329-336)
-                self._try_parse(f, route or "default", UNIDENTIFIED, ctx, ())
+                # default UnidentifiedFile (dispatcher.py:329-336); a hint
+                # route (scope 'root') must not relabel unidentified files
+                fallback_group = route if (route and route_scope == "all") else "default"
+                self._try_parse(f, fallback_group, UNIDENTIFIED, ctx, ())
 
             # File reporting attributed to the parent (dispatcher.py:338-351).
             # In the reference's nested setup every processed output_file=True

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kgmwcp.lineage import CheckpointedRun
 from kgmwcp.stages.extract import extract_records
 from kgmwcp.stages.ingest import prepare_samples
+from kgmwcp.stages.router import route_samples
 from kgmwcp.stages.link import (
     edges_of,
     files_of,
@@ -38,6 +39,10 @@ class PipelineConfig:
     # repartition the python stage's input so blob work spreads evenly and
     # decorrelates repo skew (one giant repo must not pin one task).
     extract_partitions: Optional[int] = None
+    # signature router (stages/router.py, P10): JVM-side byte signatures
+    # fill NULL routes so the python identify cascade first-tries the
+    # right group; input-supplied routes still win.
+    use_router: bool = False
 
 
 class Pipeline:
@@ -46,7 +51,10 @@ class Pipeline:
 
     # -- stages ----------------------------------------------------------
     def samples(self, docs: DataFrame) -> DataFrame:
-        return prepare_samples(docs, n_buckets=self.config.n_buckets)
+        samples = prepare_samples(docs, n_buckets=self.config.n_buckets)
+        if self.config.use_router:
+            samples = route_samples(samples)
+        return samples
 
     def records(self, docs: DataFrame) -> DataFrame:
         samples = self.samples(docs)
@@ -57,6 +65,7 @@ class Pipeline:
             samples,
             group_order=self.config.group_order,
             knowledge_base=self.config.knowledge_base,
+            route_scope="root" if self.config.use_router else "all",
         )
 
     # -- full run ----------------------------------------------------------
@@ -96,6 +105,7 @@ class Pipeline:
             frontier,
             group_order=self.config.group_order,
             knowledge_base=self.config.knowledge_base,
+            route_scope="root" if self.config.use_router else "all",
         )
         ckpt.write_records(records, fail_after_buckets=fail_after_buckets)
         committed = ckpt.read_records()

@@ -53,7 +53,8 @@ _N_COLS = len(_ARROW_SCHEMA)
 _COL_INDEX = {f.name: i for i, f in enumerate(_ARROW_SCHEMA)}
 
 
-def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict) -> pa.RecordBatch:
+def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
+                         route_scope: str = "all") -> pa.RecordBatch:
     repos = batch.column("repo").to_pylist()
     paths = batch.column("path").to_pylist()
     commits = batch.column("commit").to_pylist()
@@ -79,7 +80,8 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict) ->
         data = bytes(content) if content is not None else b""
         name = path.rsplit("/", 1)[-1] if path else None
         result = engine.run(data, name=name, route=route or None,
-                            knowledge_base=knowledge_base)
+                            knowledge_base=knowledge_base,
+                            route_scope=route_scope)
         root_sha = result.root.sha256
 
         n_m = len(result.triples)
@@ -133,8 +135,15 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict) ->
 
 
 def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
-                    knowledge_base: Optional[dict] = None) -> DataFrame:
-    """samples -> unified record stream (mentions + file tree + errors)."""
+                    knowledge_base: Optional[dict] = None,
+                    route_scope: str = "all") -> DataFrame:
+    """samples -> unified record stream (mentions + file tree + errors).
+
+    ``route_scope``: "all" treats the route column as a named-parser
+    restriction for the whole file tree; "root" treats it as a signature
+    router hint (stages/router.py) — first-try priority for the root,
+    auto fallback everywhere else.
+    """
     kb = dict(knowledge_base or {})
     needed = ["repo", "path", "commit", "route", "content_bin", "bucket"]
 
@@ -147,7 +156,7 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
 
         engine = ExtractionEngine(group_order=group_order)
         for batch in batches:
-            yield _process_arrow_batch(batch, engine, kb)
+            yield _process_arrow_batch(batch, engine, kb, route_scope)
 
     # Column-prune before the Python stage so Arrow only ships what the
     # engine reads (content + provenance), never derived identity columns.

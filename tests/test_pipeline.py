@@ -180,3 +180,58 @@ def test_report_json_structure(spark, corpus):
     # every metadata entry is a typed payload (reference unstructure shape)
     url_entry = next(e for e in report["metadata"] if e["type"] == "url")
     assert url_entry["url"] == "http://127.0.0.1"
+
+
+def test_router_parity_with_auto_dispatch(spark, corpus, tables):
+    """P10 acceptance: routed pipeline triples equal the auto-routed ones
+    on the fixture corpus (the router is a hint, never a semantic change)."""
+    routed_pipe = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"}, use_router=True))
+    routed = routed_pipe.run(corpus)["triples"]
+    auto = tables["triples"]
+    assert auto.exceptAll(routed).count() == 0
+    assert routed.exceptAll(auto).count() == 0
+
+
+def test_router_route_assignment(spark, corpus):
+    """Signatures resolve the right group per fixture class; input routes
+    win; unidentified rows keep NULL (auto fallback)."""
+    pipe = Pipeline(PipelineConfig(n_buckets=8, use_router=True))
+    rows = {r["path"]: r["route"]
+            for r in pipe.samples(corpus).select("path", "route").collect()}
+    assert rows["x0/run.ps1"] == "PowerShell"
+    assert rows["a0/doc.pdf"] == "PDF"
+    assert rows["a0/drop.zip"] == "Archive"
+    assert rows["a0/drop.tar.gz"] == "Archive"
+    assert rows["d0/readme.bin"] == "Decoy"          # CFB decoy, no Details
+    assert rows["q0/sample.bup"] == "Quarantined"    # CFB + Details stream
+    assert rows["q0/sample.qbd"] == "Quarantined"    # XORed %PDF prefix
+    assert rows["q0/entry.dat"] == "Quarantined"     # Defender 0BAD
+    assert rows["q0/chest.dat"] == "Quarantined"     # -chest- prefix
+    assert rows["b0/drop.exe"] == "GenericDropper"
+    assert rows["k0/cert.pem"] == "RSA"
+    assert rows["k0/key.blob"] == "RSA"
+    assert rows["k0/key.xml"] == "RSA"
+    assert rows["s0/mal.vbs"] == "VisualBasic"
+    assert rows["s0/enc.vbe"] == "VisualBasic"
+    assert rows["f0/anything.txt"] == "foo"          # input route preserved
+    assert rows["u0/blob.txt"] is None               # no signature -> auto
+
+
+def test_router_pyinstaller_and_iso_signatures(spark):
+    """EOF-cookie and at-offset signatures (not in the standard corpus)."""
+    from kgmwcp.stages.ingest import prepare_samples
+    from kgmwcp.stages.router import route_samples
+
+    pyz = fixtures.pyinstaller_payload(b"print('x')\n", variant=0)
+    iso_blob = bytearray(0x8001 + 5 + 10)
+    iso_blob[0x8001:0x8001 + 5] = b"CD001"
+    docs = spark.createDataFrame(
+        [("r", "p/a.bin", "c", "binary-b64", base64.b64encode(pyz).decode()),
+         ("r", "p/b.iso", "c", "binary-b64", base64.b64encode(bytes(iso_blob)).decode())],
+        "repo string, path string, commit string, lang string, content string")
+    rows = {r["path"]: r["route"]
+            for r in route_samples(prepare_samples(docs, n_buckets=4))
+            .select("path", "route").collect()}
+    assert rows["p/a.bin"] == "Python"
+    assert rows["p/b.iso"] == "ISO"

@@ -73,3 +73,14 @@ def test_extract_input_column_pruned(spark):
     head = plan.split("MapInArrow")[0]
     assert "content_bin" in plan
     assert "md5" not in head
+
+
+def test_router_stage_is_pure_codegen(spark):
+    """The signature router must be Column-only: byte signatures evaluated
+    JVM-side (static_invoke startsWith/contains), zero Python evals."""
+    pipe = Pipeline(PipelineConfig(n_buckets=8, use_router=True))
+    samples = pipe.samples(fixtures.corpus_df(spark, replication=1, hot_rows=2))
+    plan = _plan(samples)
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan
+    assert "startsWith" in plan or "StartsWith" in plan
