@@ -20,6 +20,7 @@ class SampleFile:
         "data", "_name", "description", "derivation", "tags", "parent",
         "children", "output_file", "rule", "rule_group", "origin_group",
         "depth", "_md5", "_sha1", "_sha256", "_pe", "_pe_attempted",
+        "_elf", "_elf_attempted", "_macho", "_macho_attempted",
     )
 
     def __init__(
@@ -41,6 +42,10 @@ class SampleFile:
         self._sha256: Optional[str] = None
         self._pe = None
         self._pe_attempted = False
+        self._elf = None
+        self._elf_attempted = False
+        self._macho = None
+        self._macho_attempted = False
         # Default name mirrors the reference's stub naming
         # (mwcp/file_object.py:141-147 -> pefileutils.py:386-418):
         # non-PE -> "<md5>.bin"; PE -> "<md5>_<arch><.exe|.dll>".
@@ -92,8 +97,34 @@ class SampleFile:
         return self._pe
 
     @property
+    def elf(self):
+        """Lazy ELF view (mwcp/file_object.py:271-277)."""
+        if not self._elf_attempted:
+            self._elf_attempted = True
+            from kgmwcp.engine.elf import parse_elf
+
+            self._elf = parse_elf(self.data)
+        return self._elf
+
+    @property
+    def macho(self):
+        """Lazy Mach-O view (mwcp/file_object.py:279-285)."""
+        if not self._macho_attempted:
+            self._macho_attempted = True
+            from kgmwcp.engine.macho import parse_macho
+
+            self._macho = parse_macho(self.data)
+        return self._macho
+
+    @property
     def architecture(self) -> Optional[str]:
-        return self.pe.architecture if self.pe else None
+        """PE arch, else ELF machine arch, else None — the reference never
+        consults the Mach-O view here (mwcp/file_object.py:492-504)."""
+        if self.pe is not None:
+            return self.pe.architecture
+        if self.elf is not None:
+            return self.elf.architecture
+        return None
 
     @property
     def compile_time(self) -> Optional[str]:

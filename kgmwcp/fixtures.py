@@ -71,6 +71,16 @@ def _targz_payload(member: bytes, variant: int) -> bytes:
     return out.getvalue()
 
 
+def _zip_native_payload(variant: int) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        so = zipfile.ZipInfo("native/libx.so", date_time=(1980, 1, 1, 0, 0, 0))
+        zf.writestr(so, elf_payload(variant))
+        tool = zipfile.ZipInfo("native/tool.bin", date_time=(1980, 1, 1, 0, 0, 0))
+        zf.writestr(tool, macho_fat_payload(variant))
+    return buf.getvalue()
+
+
 def _qb_payload(plain: bytes) -> bytes:
     return bytes(b ^ 0xB3 for b in plain)
 
@@ -325,6 +335,11 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
         # dup_pair: identical content, different repo/path -> same sha256
         add("dup_a", i, f"p{i}/dup_a.ps1", "powershell", PS1_URLS)
         add("dup_b", i, f"p{i}/dup_b.ps1", "powershell", PS1_URLS)
+        # non-Windows executables as zip children: unidentified file nodes
+        # whose architecture comes from the ELF view (Mach-O stays None —
+        # reference file_object.py:492-504 never consults the macho view)
+        add("zip_native", i, f"e{i}/native.zip", "binary-b64",
+            _b64(_zip_native_payload(i)))
 
     for i in range(hot_rows):
         # hot_mutex: every row extracts the same URL entity -> hot key
@@ -425,3 +440,78 @@ def subsdk_payload(inner: bytes, key: bytes = b"0123456789abcdef") -> bytes:
         body += _swap_dwords(cipher.encrypt(padded))
     header = b"SubSDKQuarantine" + key  # bytes 16:32 carry the key
     return header + bytes(body)
+
+
+def elf_payload(variant: int = 0, machine: int = 0x3E) -> bytes:
+    """Minimal valid ELF64 little-endian relocatable: null + .text +
+    .shstrtab sections (enough for engine/elf.py's header + section walk)."""
+    import struct
+
+    text = b"\x90" * 16 + f"elf-variant-{variant}".encode()
+    shstrtab = b"\x00.text\x00.shstrtab\x00"
+    text_off = 64
+    str_off = text_off + len(text)
+    sh_off = (str_off + len(shstrtab) + 7) & ~7
+
+    ehdr = struct.pack(
+        "<4sBBBBB7xHHIQQQIHHHHHH",
+        b"\x7fELF", 2, 1, 1, 0, 0,     # 64-bit, little-endian, SYSV
+        1, machine, 1,                 # ET_REL, e_machine, EV_CURRENT
+        0, 0, sh_off, 0,               # entry, phoff, shoff, flags
+        64, 0, 0, 64, 3, 2,            # ehsize, phent, phnum, shent, shnum, shstrndx
+    )
+
+    def shdr(name_off, typ, offset, size):
+        return struct.pack("<IIQQQQIIQQ", name_off, typ, 0, 0, offset, size,
+                           0, 0, 1, 0)
+
+    blob = bytearray(ehdr)
+    blob += text
+    blob += shstrtab
+    blob += b"\x00" * (sh_off - len(blob))
+    blob += shdr(0, 0, 0, 0)                               # SHT_NULL
+    blob += shdr(1, 1, text_off, len(text))                # .text (PROGBITS)
+    blob += shdr(7, 3, str_off, len(shstrtab))             # .shstrtab (STRTAB)
+    return bytes(blob)
+
+
+def macho_payload(variant: int = 0, cputype: int = 0x01000007) -> bytes:
+    """Minimal thin 64-bit Mach-O: one LC_SEGMENT_64 (__TEXT) with one
+    __text section (engine/macho.py slice + section walk)."""
+    import struct
+
+    text = b"\xc3" * 8 + f"macho-variant-{variant}".encode()
+    ncmds, sizeofcmds = 1, 72 + 80
+    text_off = 32 + sizeofcmds
+    header = struct.pack("<IiiIIIII", 0xFEEDFACF, cputype, 3, 2,
+                         ncmds, sizeofcmds, 0, 0)
+    seg = struct.pack("<II16sQQQQiiII", 0x19, sizeofcmds, b"__TEXT",
+                      0x1000, len(text), text_off, len(text), 7, 5, 1, 0)
+    sect = struct.pack("<16s16sQQIIIIIIII", b"__text", b"__TEXT",
+                       0x1000, len(text), text_off, 0, 0, 0, 0, 0, 0, 0)
+    return header + seg + sect + text
+
+
+def macho_fat_payload(variant: int = 0) -> bytes:
+    """Fat Mach-O with an x86_64 and an arm64 slice (big-endian fat header,
+    machoutils.obtain_macho / FatBinary.at parity)."""
+    import struct
+
+    slices = [macho_payload(variant, cputype=0x01000007),
+              macho_payload(variant, cputype=0x0100000C)]
+    header_size = 8 + 20 * len(slices)
+    out = bytearray(struct.pack(">II", 0xCAFEBABE, len(slices)))
+    offsets = []
+    pos = (header_size + 7) & ~7
+    for blob in slices:
+        offsets.append(pos)
+        pos += (len(blob) + 7) & ~7
+    for blob, off, cpu in zip(slices, offsets, (0x01000007, 0x0100000C)):
+        out += struct.pack(">iiIII", cpu, 3, off, len(blob), 3)
+    body = bytearray()
+    base = (header_size + 7) & ~7
+    out += b"\x00" * (base - len(out))
+    for blob, off in zip(slices, offsets):
+        out += b"\x00" * (off - len(out))
+        out += blob
+    return bytes(out)

@@ -10,6 +10,7 @@ import json
 
 import pytest
 
+from kgmwcp import fixtures
 from kgmwcp.engine import vbe
 from kgmwcp.engine.dispatcher import ExtractionEngine
 from kgmwcp.engine.fileobj import SampleFile
@@ -603,3 +604,70 @@ class TestGreedyMode:
         # PDF ran (urls extracted) AND Decoy renamed the extension
         assert any(p == "url" for _, p, _ in greedy.triples)
         assert greedy.files[0].name == "g.pdf"
+
+
+class TestElfView:
+    def test_parse_and_arch(self):
+        from kgmwcp.engine.elf import parse_elf
+
+        elf = parse_elf(fixtures.elf_payload(0))
+        assert elf is not None
+        assert elf.architecture == "x64"
+        assert [n for n, _ in elf.sections()] == ["", ".text", ".shstrtab"]
+        assert elf.section_data(".text").startswith(b"\x90" * 16)
+
+    def test_machine_arch_mapping(self):
+        from kgmwcp.engine.elf import parse_elf
+
+        # pyelftools get_machine_arch names; unknown machine -> None
+        # (the reference maps '<unknown>' to None, file_object.py:498-502)
+        assert parse_elf(fixtures.elf_payload(0, machine=0x03)).architecture == "x86"
+        assert parse_elf(fixtures.elf_payload(0, machine=0xB7)).architecture == "AArch64"
+        assert parse_elf(fixtures.elf_payload(0, machine=0x9999)).architecture is None
+
+    def test_not_elf_and_truncated(self):
+        from kgmwcp.engine.elf import parse_elf
+
+        assert parse_elf(b"MZ not an elf") is None
+        assert parse_elf(fixtures.elf_payload(0)[:40]) is None
+
+    def test_fileobj_architecture_from_elf(self):
+        from kgmwcp.engine.fileobj import SampleFile
+
+        f = SampleFile(fixtures.elf_payload(0))
+        assert f.architecture == "x64"
+        assert f.pe is None and f.elf is not None
+
+
+class TestMachoView:
+    def test_thin_slice(self):
+        from kgmwcp.engine.macho import parse_macho
+
+        m = parse_macho(fixtures.macho_payload(0))
+        assert m is not None and m.size == 1
+        # lief-style enum names (machoutils.get_cpu_type parity)
+        assert m.cpu_types() == ["X86_64"]
+        assert m.section_data("__text").startswith(b"\xc3" * 8)
+
+    def test_fat_binary(self):
+        from kgmwcp.engine.macho import parse_macho
+
+        m = parse_macho(fixtures.macho_fat_payload(1))
+        assert m.size == 2
+        assert m.cpu_types() == ["X86_64", "ARM64"]
+        assert m.at(1).cpu_type == "ARM64"
+        assert b"macho-variant-1" in m.section_data("__text")
+
+    def test_not_macho(self):
+        from kgmwcp.engine.macho import parse_macho
+
+        assert parse_macho(b"\x7fELF" + bytes(60)) is None
+        assert parse_macho(b"") is None
+
+    def test_macho_does_not_set_architecture(self):
+        # reference parity: FileObject.architecture is PE/ELF only
+        from kgmwcp.engine.fileobj import SampleFile
+
+        f = SampleFile(fixtures.macho_payload(0))
+        assert f.macho is not None
+        assert f.architecture is None

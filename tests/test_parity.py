@@ -109,6 +109,17 @@ def build_golden() -> set:
     golden.add((sha(zip_payload), "file",
                 j(file_obj("note.txt", "Unidentified file", b"note 0\n"))))
 
+    # zip_native: ELF child gets architecture from the ELF view; the
+    # Mach-O child stays None (reference file_object.py:492-504)
+    native_zip = fixtures._zip_native_payload(0)
+    elf_blob = fixtures.elf_payload(0)
+    elf_file = file_obj("libx.so", "Unidentified file", elf_blob)
+    elf_file["architecture"] = "x64"
+    golden.add((sha(native_zip), "file", j(elf_file)))
+    macho_blob = fixtures.macho_fat_payload(0)
+    golden.add((sha(native_zip), "file",
+                j(file_obj("tool.bin", "Unidentified file", macho_blob))))
+
     # gzip_tar: single member
     tar_payload = fixtures._targz_payload(decoded, 0)
     golden.add((sha(tar_payload), "file",
