@@ -561,8 +561,18 @@ class ISOImageFile(Rule):
 
         try:
             reader = iso9660.IsoReader(f.data)
-            for dirname, filename, data in reader.walk():
-                ctx.dispatch(SampleFile(data, name=filename))
+            # the reference walks the primary view plus every present
+            # extension view (ISO.py:59-83): each name variant of a member
+            # is dispatched; identical (name, payload) pairs dedupe in the
+            # report, alternate names surface as their own file elements
+            views = ["iso"]
+            if reader.has_joliet():
+                views.append("joliet")
+            if reader.has_rock_ridge():
+                views.append("rr")
+            for view in views:
+                for dirname, filename, data in reader.walk(view):
+                    ctx.dispatch(SampleFile(data, name=filename))
         except (ValueError, IndexError, _struct.error) as exc:
             ctx.log_error(f"Failed to walk ISO image: {exc}")
 

