@@ -58,6 +58,10 @@ class ReportContext:
         self._sources: List[SampleFile] = []
         self._current: Optional[SampleFile] = None
         self.errors: List[str] = []
+        # per-file log capture (report.py:160-180 ReportLogHandler
+        # analogue): (source sha256, level char, message); errors are
+        # logs too, matching the reference's logs-includes-errors model
+        self.logs: List[Tuple[Optional[str], str, str]] = []
 
     def set_file(self, f: Optional[SampleFile]) -> None:
         self._current = f
@@ -82,7 +86,7 @@ class ReportContext:
             try:
                 element.validate()
             except md.ValidationError as exc:
-                self.errors.append(str(exc))
+                self.log_error(str(exc))
                 return
             bucket.append(element)
             element.post_processing(self)
@@ -90,8 +94,19 @@ class ReportContext:
     def dispatch(self, child: SampleFile) -> None:
         self._engine._enqueue(child, parent=self._current)
 
+    def _log(self, level_char: str, message: str) -> None:
+        source = self._current.sha256 if self._current is not None else None
+        self.logs.append((source, level_char, message))
+
     def log_error(self, message: str) -> None:
         self.errors.append(message)
+        self._log("E", message)
+
+    def log_warning(self, message: str) -> None:
+        self._log("W", message)
+
+    def log_info(self, message: str) -> None:
+        self._log("I", message)
 
     # -- emission ------------------------------------------------------
     def iter_triples(self) -> Iterable[Tuple[SampleFile, str, str]]:
@@ -117,13 +132,14 @@ class ReportContext:
 
 
 class ExtractionResult:
-    __slots__ = ("root", "triples", "files", "errors")
+    __slots__ = ("root", "triples", "files", "errors", "logs")
 
-    def __init__(self, root, triples, files, errors):
+    def __init__(self, root, triples, files, errors, logs=None):
         self.root = root
         self.triples = triples  # list[(source SampleFile, pred, obj)]
         self.files = files      # list[SampleFile] all processed files
         self.errors = errors
+        self.logs = logs or []  # list[(source_sha256, level_char, message)]
 
 
 class ExtractionEngine:
@@ -282,4 +298,4 @@ class ExtractionEngine:
 
         triples = list(ctx.iter_triples())
         return ExtractionResult(root=root, triples=triples, files=processed,
-                                errors=ctx.errors)
+                                errors=ctx.errors, logs=ctx.logs)

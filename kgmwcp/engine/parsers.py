@@ -67,6 +67,7 @@ class ArchiveZip(Rule):
         return f.data.startswith(b"PK")
 
     def run(self, f, ctx):
+        ctx.log_info("Attempting to extract files from Zip archive.")  # Archive.py:33
         try:
             archive = zipfile.ZipFile(io.BytesIO(f.data))
             for info in archive.infolist():
@@ -297,7 +298,9 @@ class McAfee(Rule):
             ctx.log_error(f"Failed to parse OLE container: {exc}")
             return
         if not ole.exists("Details"):
-            ctx.log_error("Unable to revert file!")
+            # reference logs this at WARNING (Quarantined.py:67) — it is a
+            # log row, not an errors-list entry
+            ctx.log_warning("Unable to revert file!")
             return
         details = configparser.ConfigParser()
         details.read_string(unxor(ole.read_stream("Details")).decode("utf8"))
@@ -566,9 +569,13 @@ class ISOImageFile(Rule):
             # is dispatched; identical (name, payload) pairs dedupe in the
             # report, alternate names surface as their own file elements
             views = ["iso"]
+            if reader.has_udf():
+                ctx.log_info("UDF extension identified")  # ISO.py:72-73
             if reader.has_joliet():
+                ctx.log_info("Joliet extension identified")  # ISO.py:76-77
                 views.append("joliet")
             if reader.has_rock_ridge():
+                ctx.log_info("Rock Ridge extension identified")  # ISO.py:80-81
                 views.append("rr")
             for view in views:
                 for dirname, filename, data in reader.walk(view):
@@ -956,6 +963,7 @@ class Foo(Rule):
             ctx.add(md.Other("secret_using_external_knowledge", secret + "!"))
         ctx.knowledge_base["encryption_key"] = b"\xde\xad\xbe\xef"
         ctx.add(md.URL("http://127.0.0.1"))
+        ctx.log_info(f"size of inputfile is {len(f.data)} bytes")  # foo.py:34
         if f.pe is not None:
             # bytes-valued Other, matching foo.py:38-41
             ctx.add(md.Other(
@@ -966,6 +974,7 @@ class Foo(Rule):
             description="example output file",
             derivation="extracted and decompressed",
         ))
+        ctx.log_info(f"operating on inputfile {f.name}")  # foo.py:57
 
 
 # --------------------------------------------------------------------------

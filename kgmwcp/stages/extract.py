@@ -127,6 +127,21 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
                 col.extend([None] * n_e)
             _common(n_e, root_sha, repo, path, commit, bucket)
 
+        # per-file log capture (reference ReportLogHandler,
+        # mwcp/report.py:169-180): one kind='log' row per record, message
+        # pre-formatted "[{level_char}] {message}" like the reference's
+        # LevelCharFilter formatter; subj carries the source file
+        n_l = len(result.logs)
+        if n_l:
+            c_kind.extend(["log"] * n_l)
+            for source_sha, level, message in result.logs:
+                c_subj.append(source_sha)
+                c_error.append(f"[{level}] {message}")
+            for col in (c_pred, c_obj, c_fsha, c_fmd5, c_fname,
+                        c_fdesc, c_fderiv, c_parent, c_depth, c_parser):
+                col.extend([None] * n_l)
+            _common(n_l, root_sha, repo, path, commit, bucket)
+
     arrays = [
         pa.array(col, type=field.type)
         for col, field in zip(cols, _ARROW_SCHEMA)

@@ -37,6 +37,20 @@ def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
         .groupBy("root_sha256")
         .agg(F.array_sort(F.collect_set("entry")).alias("entries"))
     )
+    # per-root log + error lists (reference report model fields
+    # mwcp/metadata.py:2941-2942; logs include errors, reference
+    # get_logs()/errors split).  Sorted for run determinism — the
+    # reference compares reports order-insensitively anyway.
+    logs = (
+        records.filter(F.col("kind") == "log")
+        .groupBy("root_sha256")
+        .agg(F.array_sort(F.collect_list("error")).alias("logs"))
+    )
+    errors = (
+        records.filter(F.col("kind") == "error")
+        .groupBy("root_sha256")
+        .agg(F.array_sort(F.collect_list("error")).alias("errors"))
+    )
     # identical content can arrive under several (repo, path, commit) rows;
     # pick provenance deterministically (min over the provenance struct)
     # instead of dropDuplicates' arbitrary first-seen row, so report_json
@@ -66,8 +80,15 @@ def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
             F.col("prov.parser").alias("parser"),
         )
     )
-    joined = roots.join(grouped, "root_sha256", "left")
+    joined = (
+        roots.join(grouped, "root_sha256", "left")
+        .join(logs, "root_sha256", "left")
+        .join(errors, "root_sha256", "left")
+    )
     entries = F.coalesce(F.col("entries"), F.array().cast("array<string>"))
+    empty = F.array().cast("array<string>")
+    logs_json = F.to_json(F.coalesce(F.col("logs"), empty))
+    errors_json = F.to_json(F.coalesce(F.col("errors"), empty))
     input_file = F.to_json(
         F.struct(
             F.lit("file").alias("type"),
@@ -88,6 +109,8 @@ def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
             F.concat(F.lit('"'), F.coalesce(F.lit(parser), F.col("parser")), F.lit('"')),
             F.lit("null"),
         ),
+        F.lit(',"errors":'), errors_json,
+        F.lit(',"logs":'), logs_json,
         F.lit(',"metadata":['), F.concat_ws(",", entries), F.lit("]}"),
     )
     return joined.select(

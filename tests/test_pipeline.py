@@ -235,3 +235,23 @@ def test_router_pyinstaller_and_iso_signatures(spark):
             .select("path", "route").collect()}
     assert rows["p/a.bin"] == "Python"
     assert rows["p/b.iso"] == "ISO"
+
+
+def test_report_logs_capture(spark, corpus):
+    """Per-file logs ride kind='log' records into the report JSON
+    (reference ReportLogHandler, mwcp/report.py:169-180; model fields
+    errors/logs, mwcp/metadata.py:2941-2942)."""
+    pipe = Pipeline(PipelineConfig(n_buckets=8, knowledge_base={"secret": "hello"}))
+    tables = pipe.run(corpus)
+
+    log_rows = tables["records"].filter(F.col("kind") == "log")
+    msgs = {r["error"] for r in log_rows.collect()}
+    assert "[I] Attempting to extract files from Zip archive." in msgs
+    assert any(m.startswith("[I] size of inputfile is") for m in msgs)
+
+    foo_sha = hashlib.sha256((fixtures.FOO_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    row = tables["reports"].filter(F.col("root_sha256") == foo_sha).collect()[0]
+    report = json.loads(row["report_json"])
+    assert report["errors"] == []
+    assert any(l.startswith("[I] size of inputfile is") for l in report["logs"])
+    assert any(l.startswith("[I] operating on inputfile") for l in report["logs"])
