@@ -92,6 +92,19 @@ def _router_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stix_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STIX 2.1 bundle view on the fixture corpus (S13 full form): one
+    bundle per root, deterministic UUIDv5 ids computed entirely in
+    Columns (rows-only check; uuid5 parity vs python is pinned by
+    tests/test_pipeline.py)."""
+    from kgmwcp import fixtures
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
+    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
+    return pipe.run(corpus)["stix"]
+
+
 _SUITES = [_relational, _textops, _dedup, _similarity, _multimodal]
 
 
@@ -103,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_fixture_triples"] = _pipeline_fixture_triples
     out["pipeline_fixture_nodes"] = _pipeline_fixture_nodes
     out["kg_router_routes"] = _router_routes
+    out["kg_stix_bundles"] = _stix_bundles
     return out
 
 

@@ -58,6 +58,8 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                         help="ignore existing checkpoint manifests")
     parser.add_argument("--streaming", action="store_true",
                         help="drain --input as a drop-folder via Structured Streaming")
+    parser.add_argument("--stix", action="store_true",
+                        help="also write STIX 2.1 bundles (one per root sample)")
     return parser.parse_args(argv)
 
 
@@ -105,7 +107,10 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
             tables = pipe.run_checkpointed(spark, docs, args.output)
 
         summary = {}
-        for name in ("triples", "nodes", "edges", "reports"):
+        table_names = ("triples", "nodes", "edges", "reports")
+        if args.stix:
+            table_names += ("stix",)
+        for name in table_names:
             df = tables[name]
             df.write.mode("overwrite").parquet(f"{args.output}/{name}")
             summary[name] = spark.read.parquet(f"{args.output}/{name}").count()

@@ -26,6 +26,7 @@ from kgmwcp.stages.link import (
     triples_of,
 )
 from kgmwcp.stages.report import reports_of
+from kgmwcp.stages.stix import stix_bundles_of
 
 __all__ = ["Pipeline", "PipelineConfig"]
 
@@ -89,6 +90,7 @@ class Pipeline:
             "nodes": nodes_of(records, salt_buckets=self.config.salt_buckets),
             "edges": edges_of(records),
             "reports": reports_of(records),
+            "stix": stix_bundles_of(records),
         }
 
     # -- checkpointed run ---------------------------------------------------

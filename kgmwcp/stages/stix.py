@@ -1,0 +1,255 @@
+"""Stage 6c — STIX 2.1 SDO/SCO JSON view (SURVEY.md S13 full form).
+
+The reference serializes each report into a STIX 2.1 bundle
+(mwcp/stix/report_writer.py:14-151): one SCO per indicator (url,
+email-addr, ipv4-addr/domain-name, file, directory, mutex,
+windows-registry-key), an x509-certificate keyed by the reference's own
+uuid5 namespace (mwcp/metadata.py:185,2459-2461), and a closing
+``malware-analysis`` SDO whose ``analysis_sco_refs`` lists the linked
+objects.
+
+Spark-first re-expression: everything — including the deterministic
+UUIDv5 ids — is pure Column work.  STIX 2.1 SCO ids are UUIDv5 over the
+canonical JSON of the id-contributing properties in the spec's SCO
+namespace; UUIDv5 is SHA-1 of (namespace bytes + name) with version and
+variant nibbles patched, which maps onto ``sha1`` + string surgery
+(``translate`` patches the variant nibble), so id generation stays
+inside whole-stage codegen and matches Python's ``uuid.uuid5`` bit for
+bit (pinned in tests).
+
+Documented divergences from the reference writer:
+* SDO/bundle ids are uuid5 over the root sha256 instead of random
+  uuid4 — deterministic output is a feature in a distributed pipeline
+  (same rationale as the reference's ``fixed_timestamp`` knob);
+* ``created``/``modified`` default to a fixed timestamp;
+* Note consolidation (free-text ``Other`` data) is not emitted.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgmwcp.stages.link import files_of, mentions_of
+
+__all__ = ["stix_objects_of", "stix_bundles_of", "uuid5_expr"]
+
+# STIX 2.1 spec namespace for SCO deterministic ids (section 2.9).
+NAMESPACE_SCO = uuid.UUID("00abedb4-aa42-466c-9c01-fed23315a9b7")
+# The reference's own namespace for non-SCO deterministic ids
+# (mwcp/metadata.py:185).
+NAMESPACE_MWCP = uuid.UUID("27b16a6a-0f3e-44e2-af1f-4b1c590278f4")
+
+FIXED_TIMESTAMP = "2020-01-01T00:00:00.000Z"
+
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def uuid5_expr(namespace: uuid.UUID, name: Column) -> Column:
+    """``uuid.uuid5(namespace, name)`` as a Column (codegen, no Python):
+    sha1 over namespace bytes + utf-8 name, version nibble forced to 5,
+    variant nibble mapped onto 8-b via translate."""
+    h = F.sha1(F.concat(F.lit(namespace.bytes), F.encode(name, "utf-8")))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(
+            F.translate(F.substring(h, 17, 1),
+                        "0123456789abcdef", "89ab89ab89ab89ab"),
+            F.substring(h, 18, 3),
+        ),
+        F.substring(h, 21, 12),
+    )
+
+
+def _sco_id(stix_type: str, key: Column) -> Column:
+    return F.concat(F.lit(stix_type + "--"), uuid5_expr(NAMESPACE_SCO, key))
+
+
+def _entry(stix_type: str, id_col: Column, props: Column) -> Column:
+    """struct(stix_type, stix_id, stix_json) for one branch.
+
+    '{"a":1}' props -> '{"type":"T","id":"...","a":1}' — the same string
+    surgery as reports_of; props struct fields must be alphabetical so the
+    output matches sort_keys canonical JSON."""
+    head = F.concat(F.lit('{"type":"' + stix_type + '","id":"'), id_col)
+    body = F.when(
+        props.isNotNull() & (F.length(props) > 2),
+        # '",' + props minus its opening brace (keeps the closing one)
+        F.concat(head, F.lit('",'), props.substr(F.lit(2), F.length(props))),
+    ).otherwise(F.concat(head, F.lit('"}')))
+    return F.struct(
+        F.lit(stix_type).alias("stix_type"),
+        id_col.alias("stix_id"),
+        body.alias("stix_json"),
+    )
+
+
+def _file_sco(name: Column, md5: Column, sha1: Column, sha256: Column) -> Column:
+    """file SCO: id-contributing properties are hashes + name (STIX 2.1
+    §6.5); alphabetical key order matches canonical sort_keys JSON."""
+    hashes = F.struct(
+        md5.alias("MD5"), sha1.alias("SHA-1"), sha256.alias("SHA-256"))
+    props = F.to_json(F.struct(hashes.alias("hashes"), name.alias("name")))
+    return _entry("file", _sco_id("file", props), props)
+
+
+def stix_objects_of(records: DataFrame) -> DataFrame:
+    """records -> (root_sha256, stix_type, stix_id, stix_json) — one SCO
+    per mapped indicator plus one file SCO per tree file (roots and
+    residual children)."""
+    m = mentions_of(records).select(
+        "root_sha256", "pred", "obj",
+        F.get_json_object("obj", "$.url").alias("url_value"),
+        F.get_json_object("obj", "$.value").alias("value"),
+        F.get_json_object("obj", "$.address").alias("address"),
+        F.get_json_object("obj", "$.path").alias("path_value"),
+        F.get_json_object("obj", "$.is_dir").alias("is_dir"),
+        F.get_json_object("obj", "$.name").alias("file_name"),
+        F.get_json_object("obj", "$.md5").alias("file_md5"),
+        F.get_json_object("obj", "$.sha1").alias("file_sha1"),
+        F.get_json_object("obj", "$.sha256").alias("file_sha256"),
+        F.get_json_object("obj", "$.public_exponent").alias("pub_exp"),
+        F.get_json_object("obj", "$.modulus").alias("modulus"),
+    )
+
+    def value_props(alias_name: str, col: Column) -> Column:
+        return F.to_json(F.struct(col.alias(alias_name)))
+
+    url_props = value_props("value", F.col("url_value"))
+    addr_props = value_props("value", F.col("address"))
+    email_props = value_props("value", F.col("value"))
+    mutex_props = value_props("name", F.col("value"))
+    dir_props = value_props("path", F.col("path_value"))
+    # reference Path2.as_stix files carry only the basename
+    # (metadata.py:584-599)
+    base_name = F.element_at(F.split(F.col("path_value"), r"[\\/]"), -1)
+    pathfile_props = value_props("name", base_name)
+    x509_props = F.to_json(F.struct(
+        F.col("pub_exp").cast("long").alias("subject_public_key_exponent"),
+        F.col("modulus").alias("subject_public_key_modulus"),
+    ))
+    # x509 ids use the reference's own namespace and seed
+    # (mwcp/metadata.py:2459-2461: uuid5(ns, f"{exponent}//{modulus}"))
+    x509_id = F.concat(
+        F.lit("x509-certificate--"),
+        uuid5_expr(NAMESPACE_MWCP,
+                   F.concat_ws("//", F.col("pub_exp"), F.col("modulus"))),
+    )
+
+    entry = (
+        F.when(F.col("pred") == "url",
+               _entry("url", _sco_id("url", url_props), url_props))
+        .when((F.col("pred") == "socket") & F.col("address").rlike(_IPV4_RE),
+              _entry("ipv4-addr", _sco_id("ipv4-addr", addr_props), addr_props))
+        .when((F.col("pred") == "socket") & F.col("address").isNotNull(),
+              _entry("domain-name", _sco_id("domain-name", addr_props), addr_props))
+        .when(F.col("pred") == "email_address",
+              _entry("email-addr", _sco_id("email-addr", email_props), email_props))
+        .when(F.col("pred") == "mutex",
+              _entry("mutex", _sco_id("mutex", mutex_props), mutex_props))
+        .when((F.col("pred") == "path") & (F.col("is_dir") == "true"),
+              _entry("directory", _sco_id("directory", dir_props), dir_props))
+        .when(F.col("pred") == "path",
+              _entry("file", _sco_id("file", pathfile_props), pathfile_props))
+        .when(F.col("pred") == "file",
+              _file_sco(F.col("file_name"), F.col("file_md5"),
+                        F.col("file_sha1"), F.col("file_sha256")))
+        .when(F.col("pred") == "rsa_public_key",
+              _entry("x509-certificate", x509_id, x509_props))
+    )
+    mapped = (
+        m.select("root_sha256", entry.alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("root_sha256", "e.stix_type", "e.stix_id", "e.stix_json")
+    )
+
+    # root input files are not mention elements (output_file=False) but the
+    # reference writes the sample's file SCO first
+    # (report_writer.py:39-52); synthesize it from the file tree
+    roots = (
+        files_of(records)
+        .filter(F.col("depth") == 0)
+        .select(
+            F.col("sha256").alias("root_sha256"),
+            _file_sco(F.col("name"), F.col("md5"),
+                      F.lit(None).cast("string"), F.col("sha256")).alias("e"),
+        )
+        .dropDuplicates(["root_sha256"])
+        .select("root_sha256", "e.stix_type", "e.stix_id", "e.stix_json")
+    )
+    return mapped.unionByName(roots).dropDuplicates(
+        ["root_sha256", "stix_id"])
+
+
+def stix_bundles_of(records: DataFrame,
+                    fixed_timestamp: str = FIXED_TIMESTAMP) -> DataFrame:
+    """records -> (root_sha256, n_objects, bundle_json): all SCOs plus the
+    closing malware-analysis SDO (report_writer.py:92-117), one bundle per
+    root sample."""
+    objects = stix_objects_of(records)
+    # sample_ref: the root's own file SCO
+    root_file = (
+        files_of(records)
+        .filter(F.col("depth") == 0)
+        .select(
+            F.col("sha256").alias("root_sha256"),
+            _file_sco(F.col("name"), F.col("md5"),
+                      F.lit(None).cast("string"), F.col("sha256"))
+            .getField("stix_id").alias("sample_ref"),
+            F.col("parser").alias("parser"),
+        )
+        .dropDuplicates(["root_sha256"])
+    )
+    grouped = (
+        objects
+        .groupBy("root_sha256")
+        .agg(
+            F.array_sort(F.collect_set("stix_id")).alias("ids"),
+            F.array_sort(F.collect_list("stix_json")).alias("jsons"),
+        )
+    )
+    joined = grouped.join(root_file, "root_sha256", "left")
+    # linked refs: every SCO except the sample itself
+    refs = F.array_sort(F.array_remove(F.col("ids"), F.col("sample_ref")))
+    analysis_id = F.concat(
+        F.lit("malware-analysis--"),
+        uuid5_expr(NAMESPACE_MWCP,
+                   F.concat(F.lit("malware-analysis--"), F.col("root_sha256"))),
+    )
+    ts = F.lit(fixed_timestamp)
+    analysis = F.concat(
+        F.lit('{"type":"malware-analysis","spec_version":"2.1","id":"'),
+        analysis_id,
+        F.lit('","created":"'), ts, F.lit('","modified":"'), ts,
+        F.lit('","product":"kgmwcp"'),
+        # parser values are rule class names (identifier-safe)
+        F.when(F.col("parser").isNotNull(),
+               F.concat(F.lit(',"result_name":"'), F.col("parser"), F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit(',"sample_ref":"'), F.col("sample_ref"), F.lit('"'),
+        F.when(F.size(refs) > 0,
+               F.concat(F.lit(',"analysis_sco_refs":'), F.to_json(refs)))
+        .otherwise(F.lit(',"result":"unknown"')),  # report_writer.py:96-101
+        F.lit("}"),
+    )
+    bundle_id = F.concat(
+        F.lit("bundle--"),
+        uuid5_expr(NAMESPACE_MWCP,
+                   F.concat(F.lit("bundle--"), F.col("root_sha256"))),
+    )
+    # jsons always holds at least the root's own file SCO
+    bundle = F.concat(
+        F.lit('{"type":"bundle","id":"'), bundle_id, F.lit('","objects":['),
+        F.concat_ws(",", F.col("jsons")), F.lit(","), analysis,
+        F.lit("]}"),
+    )
+    return joined.select(
+        "root_sha256",
+        (F.size(F.col("ids")) + 1).alias("n_objects"),
+        bundle.alias("bundle_json"),
+    )

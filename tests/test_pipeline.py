@@ -255,3 +255,52 @@ def test_report_logs_capture(spark, corpus):
     assert report["errors"] == []
     assert any(l.startswith("[I] size of inputfile is") for l in report["logs"])
     assert any(l.startswith("[I] operating on inputfile") for l in report["logs"])
+
+
+def test_stix_bundles(tables, corpus):
+    """STIX 2.1 view (S13 full form): valid bundle JSON per root, SCO ids
+    equal python uuid.uuid5 over the spec's SCO namespace, x509 ids use
+    the reference's namespace + seed (mwcp/metadata.py:185,2459-2461)."""
+    import uuid as _uuid
+
+    from kgmwcp.stages import stix
+
+    bundles = {r["root_sha256"]: r for r in tables["stix"].collect()}
+    assert bundles, "no bundles emitted"
+
+    foo_sha = hashlib.sha256((fixtures.FOO_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    b = json.loads(bundles[foo_sha]["bundle_json"])
+    assert b["type"] == "bundle"
+    objs = b["objects"]
+    assert bundles[foo_sha]["n_objects"] == len(objs)
+
+    # url SCO id == python uuid5 over canonical sort_keys JSON in the
+    # STIX 2.1 SCO namespace
+    url = next(o for o in objs if o["type"] == "url")
+    key = json.dumps({"value": url["value"]}, ensure_ascii=False,
+                     separators=(",", ":"), sort_keys=True)
+    assert url["id"] == "url--" + str(_uuid.uuid5(stix.NAMESPACE_SCO, key))
+    assert url["value"] == "http://127.0.0.1"
+
+    # the closing malware-analysis SDO references every other object
+    ma = next(o for o in objs if o["type"] == "malware-analysis")
+    assert ma["product"] == "kgmwcp"
+    assert ma["result_name"] == "Foo"
+    assert ma["sample_ref"].startswith("file--")
+    refs = ma["analysis_sco_refs"]
+    assert refs == sorted(refs)
+    other_ids = {o["id"] for o in objs if o["type"] != "malware-analysis"}
+    assert set(refs) == other_ids - {ma["sample_ref"]}
+
+    # x509: the reference's own uuid5 namespace and exponent//modulus seed
+    cert_sha = hashlib.sha256((fixtures.cert_pem() + "# 0\n").encode()).hexdigest()
+    cb = json.loads(bundles[cert_sha]["bundle_json"])
+    x509 = next(o for o in cb["objects"] if o["type"] == "x509-certificate")
+    seed = f"65537//{fixtures.CERT_MODULUS}"
+    assert x509["id"] == "x509-certificate--" + str(
+        _uuid.uuid5(stix.NAMESPACE_MWCP, seed))
+    assert x509["subject_public_key_exponent"] == 65537
+
+    # every bundle parses as JSON
+    for row in bundles.values():
+        json.loads(row["bundle_json"])

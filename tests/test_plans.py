@@ -84,3 +84,17 @@ def test_router_stage_is_pure_codegen(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" not in plan
     assert "startsWith" in plan or "StartsWith" in plan
+
+
+def test_stix_stage_is_pure_codegen(spark):
+    """UUIDv5 + bundle assembly must be Column-only: sha1 + string
+    surgery, no Python evals beyond the single extract MapInArrow."""
+    pipe = Pipeline(PipelineConfig(n_buckets=8))
+    tables = pipe.run(fixtures.corpus_df(spark, replication=1, hot_rows=2))
+    try:
+        plan = _plan(tables["stix"])
+        assert "BatchEvalPython" not in plan
+        assert "sha1" in plan
+        assert "InMemoryTableScan" in plan  # reads the records cache
+    finally:
+        tables["records"].unpersist()
