@@ -55,7 +55,7 @@ def fake_decode_batch(payloads: pd.Series) -> pd.DataFrame:
     """
     import hashlib
 
-    n_bytes = payloads.map(len)
+    n_bytes = payloads.str.len()  # vectorized (works for bytes Series)
     h1 = payloads.map(lambda b: int(hashlib.md5(b).hexdigest()[:2], 16))
     return pd.DataFrame({
         "n_bytes": n_bytes.astype("int64"),
