@@ -48,11 +48,13 @@ class SampleFile:
         self._macho_attempted = False
         # Default name mirrors the reference's stub naming
         # (mwcp/file_object.py:141-147 -> pefileutils.py:386-418):
-        # non-PE -> "<md5>.bin"; PE -> "<md5>_<arch><.exe|.dll>".
+        # non-PE -> "<md5>.bin"; PE -> recovered original filename
+        # (export-dir DLL name, else version-info OriginalFilename),
+        # else "<md5>_<arch><.exe|.dll>".
         if name:
             self._name = name
         elif self.pe is not None:
-            self._name = f"{self.md5}_{self.pe.architecture}{self.pe.file_ext()}"
+            self._name = self.pe.original_filename(self.md5)
         else:
             self._name = self.md5 + ext
         self.description = description

@@ -186,6 +186,103 @@ class MiniPE:
         return out
 
 
+    # -- original filename recovery (pefileutils.py:350-418) -------------------
+    def export_name(self) -> Optional[str]:
+        """DLL name from the export directory
+        (pefileutils._obtain_exportdir_fname)."""
+        if not self.data_directories:
+            return None
+        rva, size = self.data_directories[0]  # IMAGE_DIRECTORY_ENTRY_EXPORT
+        if not rva or not size:
+            return None
+        off = self.rva_to_offset(rva)
+        if off is None or off + 40 > len(self.data):
+            return None
+        (name_rva,) = struct.unpack_from("<I", self.data, off + 12)
+        noff = self.rva_to_offset(name_rva)
+        if noff is None:
+            return None
+        end = self.data.find(b"\x00", noff)
+        if end <= noff:
+            return None
+        return self.data[noff:end].decode("ascii", "backslashreplace")
+
+    def version_original_filename(self) -> Optional[str]:
+        """OriginalFilename from the RT_VERSION StringFileInfo
+        (pefileutils._obtain_exif_fname)."""
+        for dirtype, _idname, blob in self.resources():
+            if dirtype != "RT_VERSION":
+                continue
+            found = _vs_find_string(blob, 0, len(blob), "OriginalFilename")
+            if found:
+                return found
+        return None
+
+    def original_filename(self, def_stub: str, use_arch: bool = False) -> str:
+        """pefileutils.obtain_original_filename (pefileutils.py:386-418):
+        export-dir name, else version-info OriginalFilename, else
+        '<def_stub>_<arch><ext>'."""
+        import pathlib
+
+        filename = self.export_name() or self.version_original_filename()
+        if filename:
+            if use_arch:
+                p = pathlib.PurePath(filename)
+                return f"{p.stem}_{self.architecture}{p.suffix}"
+            return filename
+        return f"{def_stub}_{self.architecture}{self.file_ext()}"
+
+
+def _vs_find_string(data: bytes, start: int, end: int, target: str) -> Optional[str]:
+    """Depth-first search of the VS_VERSIONINFO block tree for a string
+    value named ``target`` (wLength/wValueLength/wType/szKey layout;
+    32-bit padding relative to the resource data start)."""
+    offset = start
+    while offset + 6 <= end:
+        w_length, w_value_length, w_type = struct.unpack_from("<HHH", data, offset)
+        if w_length < 6 or offset + w_length > end:
+            return None
+        block_end = offset + w_length
+        k_end = offset + 6
+        while k_end + 2 <= block_end and data[k_end:k_end + 2] != b"\x00\x00":
+            k_end += 2
+        key = data[offset + 6:k_end].decode("utf-16-le", "replace")
+        val_off = k_end + 2
+        val_off += (-val_off) % 4
+        val_bytes = w_value_length * 2 if w_type == 1 else w_value_length
+        if key == target and w_type == 1 and w_value_length:
+            raw = data[val_off:val_off + val_bytes]
+            return raw.decode("utf-16-le", "replace").rstrip("\x00") or None
+        child_start = val_off + val_bytes
+        child_start += (-child_start) % 4
+        found = _vs_find_string(data, child_start, block_end, target)
+        if found:
+            return found
+        offset = block_end + ((-block_end) % 4)
+    return None
+
+
+def build_version_info(original_filename: str) -> bytes:
+    """Fixture: minimal VS_VERSIONINFO carrying one StringFileInfo ->
+    StringTable -> String(OriginalFilename) chain (RT_VERSION payload)."""
+    def block(key: str, w_type: int, value: bytes, children: bytes,
+              value_words: Optional[int] = None) -> bytes:
+        szkey = key.encode("utf-16-le") + b"\x00\x00"
+        head_len = 6 + len(szkey)
+        pad1 = (-head_len) % 4
+        val_pad = (-(head_len + pad1 + len(value))) % 4
+        total = head_len + pad1 + len(value) + val_pad + len(children)
+        w_value = value_words if value_words is not None else len(value)
+        return (struct.pack("<HHH", total, w_value, w_type) + szkey
+                + b"\x00" * pad1 + value + b"\x00" * val_pad + children)
+
+    val = original_filename.encode("utf-16-le") + b"\x00\x00"
+    s = block("OriginalFilename", 1, val, b"", value_words=len(val) // 2)
+    table = block("040904b0", 1, b"", s, value_words=0)
+    sfi = block("StringFileInfo", 1, b"", table, value_words=0)
+    return block("VS_VERSION_INFO", 0, b"", sfi, value_words=0)
+
+
 def parse_pe(data: bytes) -> Optional[MiniPE]:
     try:
         return MiniPE(data)
@@ -202,9 +299,12 @@ def build_pe(
     dll: bool = False,
     overlay: bytes = b"",
     resources: Optional[List[Tuple[int, int, bytes]]] = None,
+    export_name: Optional[bytes] = None,
 ) -> bytes:
     """Deterministic minimal PE: one .text section with ``payload``,
-    optional .rsrc section with [(type_id, res_id, data)], optional overlay."""
+    optional .rsrc section with [(type_id, res_id, data)], optional
+    .edata section carrying ``export_name`` as the export-dir DLL name,
+    optional overlay."""
     is64 = machine == MACHINE_AMD64
     align = 0x200
     valign = 0x1000
@@ -217,6 +317,16 @@ def build_pe(
     if resources:
         rsrc_raw = _build_rsrc(resources, rsrc_rva=valign * 2)
         sections.append((b".rsrc", pad(rsrc_raw, align)))
+    edata_raw = b""
+    edata_va = 0
+    if export_name:
+        edata_va = valign * (len(sections) + 1)
+        # IMAGE_EXPORT_DIRECTORY (40 bytes): Name RVA at offset 12 points
+        # just past the struct
+        edata_raw = struct.pack(
+            "<IIHHIIIIIII", 0, 0, 0, 0, edata_va + 40, 1, 0, 0, 0, 0, 0,
+        ) + export_name + b"\x00"
+        sections.append((b".edata", pad(edata_raw, align)))
 
     n_sections = len(sections)
     size_opt = 240 if is64 else 224
@@ -254,6 +364,9 @@ def build_pe(
     if resources:
         struct.pack_into("<II", opt, dd_offset + DIR_RESOURCE * 8,
                          valign * 2, len(rsrc_raw))
+    if export_name:
+        struct.pack_into("<II", opt, dd_offset + 0 * 8,
+                         edata_va, len(edata_raw))
 
     sec_table = b""
     for name, vsize, va, raw_size, ptr in sec_entries:

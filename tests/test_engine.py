@@ -727,3 +727,45 @@ class TestMachoView:
         f = SampleFile(fixtures.macho_payload(0))
         assert f.macho is not None
         assert f.architecture is None
+
+
+class TestPEOriginalFilename:
+    """pefileutils.obtain_original_filename parity (pefileutils.py:350-418):
+    export-dir DLL name, else RT_VERSION OriginalFilename, else
+    '<stub>_<arch><ext>'."""
+
+    def test_export_directory_name(self):
+        from kgmwcp.engine import pe
+
+        blob = pe.build_pe(payload=b"\xcc" * 64, dll=True,
+                           export_name=b"evil_core.dll")
+        parsed = pe.parse_pe(blob)
+        assert parsed.export_name() == "evil_core.dll"
+        assert parsed.original_filename("stub") == "evil_core.dll"
+        assert parsed.original_filename("stub", use_arch=True) == "evil_core_x86.dll"
+        assert SampleFile(blob).name == "evil_core.dll"
+
+    def test_version_info_name(self):
+        from kgmwcp.engine import pe
+
+        vi = pe.build_version_info("payload.exe")
+        blob = pe.build_pe(payload=b"\x90" * 64, resources=[(16, 1, vi)])
+        parsed = pe.parse_pe(blob)
+        assert parsed.export_name() is None
+        assert parsed.version_original_filename() == "payload.exe"
+        assert SampleFile(blob).name == "payload.exe"
+
+    def test_export_beats_version(self):
+        from kgmwcp.engine import pe
+
+        vi = pe.build_version_info("payload.exe")
+        blob = pe.build_pe(payload=b"\x90" * 64, export_name=b"lib.dll",
+                           resources=[(16, 1, vi)])
+        assert pe.parse_pe(blob).original_filename("s") == "lib.dll"
+
+    def test_fallback_stub_unchanged(self):
+        from kgmwcp.engine import pe
+
+        blob = pe.build_pe(payload=b"\x90" * 32)
+        expected = hashlib.md5(blob).hexdigest() + "_x86.exe"
+        assert SampleFile(blob).name == expected
