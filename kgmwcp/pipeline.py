@@ -89,7 +89,8 @@ class Pipeline:
             "triples": triples_of(records),
             "nodes": nodes_of(records, salt_buckets=self.config.salt_buckets),
             "edges": edges_of(records),
-            "reports": reports_of(records),
+            "reports": reports_of(
+                records, external_knowledge=self.config.knowledge_base),
             "stix": stix_bundles_of(records),
         }
 

@@ -24,8 +24,24 @@ from kgmwcp.stages.link import files_of, mentions_of
 __all__ = ["reports_of"]
 
 
-def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
-    """records -> (root_sha256, n_elements, report_json)."""
+def _json_bytes(obj):
+    """bytes knowledge-base values serialize as base64 (canonical.py rule)."""
+    import base64
+
+    if isinstance(obj, (bytes, bytearray)):
+        return base64.b64encode(bytes(obj)).decode("ascii")
+    return str(obj)
+
+
+def reports_of(records: DataFrame, parser: str | None = None,
+               external_knowledge: dict | None = None) -> DataFrame:
+    """records -> (root_sha256, n_elements, report_json).
+
+    ``external_knowledge`` mirrors the reference report model's snapshot
+    of the caller-supplied knowledge base (mwcp/report.py:156-157,
+    metadata.py:2938); ``recursive`` is always true for this pipeline
+    (residual files are always dispatched)."""
+    import json as _json
     # '{"a":1}' -> '{"type":"<pred>","a":1}'
     entry = F.concat(
         F.lit('{"type":"'), F.col("pred"), F.lit('",'),
@@ -109,6 +125,9 @@ def reports_of(records: DataFrame, parser: str | None = None) -> DataFrame:
             F.concat(F.lit('"'), F.coalesce(F.lit(parser), F.col("parser")), F.lit('"')),
             F.lit("null"),
         ),
+        F.lit(',"recursive":true,"external_knowledge":'),
+        F.lit(_json.dumps(external_knowledge or {}, sort_keys=True,
+                          separators=(",", ":"), default=_json_bytes)),
         F.lit(',"errors":'), errors_json,
         F.lit(',"logs":'), logs_json,
         F.lit(',"metadata":['), F.concat_ws(",", entries), F.lit("]}"),

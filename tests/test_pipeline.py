@@ -304,3 +304,12 @@ def test_stix_bundles(tables, corpus):
     # every bundle parses as JSON
     for row in bundles.values():
         json.loads(row["bundle_json"])
+
+
+def test_report_external_knowledge_and_recursive(tables):
+    """Reference report-model fields (mwcp/metadata.py:2936-2940):
+    external_knowledge snapshots the supplied kb; recursive is true."""
+    row = tables["reports"].limit(1).collect()[0]
+    report = json.loads(row["report_json"])
+    assert report["recursive"] is True
+    assert report["external_knowledge"] == {"secret": "hello"}
