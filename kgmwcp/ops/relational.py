@@ -453,8 +453,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_windowed(spark, sf_dir):
+    """The streaming watermarked window operator
+    (streaming/stateful.py::windowed_event_counts) run in its batch mode —
+    the identical Column expression serves readStream (pinned equal by
+    tests/test_streaming.py); tumbling window(ts, 1h) start == the hour
+    truncation, so the batch oracle is SQL-expressible."""
+    from kgmwcp.streaming.stateful import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
     "groupby_report": q_groupby_report,
@@ -477,6 +501,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,
     "groupby_report": SQL_GROUPBY_REPORT,
