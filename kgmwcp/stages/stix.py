@@ -47,11 +47,13 @@ FIXED_TIMESTAMP = "2020-01-01T00:00:00.000Z"
 _IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 
 
-def uuid5_expr(namespace: uuid.UUID, name: Column) -> Column:
+def uuid5_expr(namespace, name: Column) -> Column:
     """``uuid.uuid5(namespace, name)`` as a Column (codegen, no Python):
     sha1 over namespace bytes + utf-8 name, version nibble forced to 5,
-    variant nibble mapped onto 8-b via translate."""
-    h = F.sha1(F.concat(F.lit(namespace.bytes), F.encode(name, "utf-8")))
+    variant nibble mapped onto 8-b via translate.  ``namespace`` is a
+    uuid.UUID or a binary Column of namespace bytes."""
+    ns = F.lit(namespace.bytes) if isinstance(namespace, uuid.UUID) else namespace
+    h = F.sha1(F.concat(ns, F.encode(name, "utf-8")))
     return F.concat_ws(
         "-",
         F.substring(h, 1, 8),
@@ -101,71 +103,90 @@ def _file_sco(name: Column, md5: Column, sha1: Column, sha256: Column) -> Column
 def stix_objects_of(records: DataFrame) -> DataFrame:
     """records -> (root_sha256, stix_type, stix_id, stix_json) — one SCO
     per mapped indicator plus one file SCO per tree file (roots and
-    residual children)."""
+    residual children).
+
+    Expression-size discipline: the per-pred branching picks only small
+    (type, id-key, props) strings; the uuid5/id/body machinery is built
+    ONCE over the chosen values.  Inlining the sha1+surgery tree into
+    every branch made the generated code so large that the first run
+    spent >70 s in whole-stage codegen compilation (measured; warm runs
+    were 3 s).  Likewise the payload JSON is parsed once via from_json
+    instead of one get_json_object pass per field."""
+    payload_schema = ("url string, value string, address string, "
+                      "path string, is_dir boolean, name string, "
+                      "md5 string, sha1 string, sha256 string, "
+                      "public_exponent bigint, modulus string")
     m = mentions_of(records).select(
-        "root_sha256", "pred", "obj",
-        F.get_json_object("obj", "$.url").alias("url_value"),
-        F.get_json_object("obj", "$.value").alias("value"),
-        F.get_json_object("obj", "$.address").alias("address"),
-        F.get_json_object("obj", "$.path").alias("path_value"),
-        F.get_json_object("obj", "$.is_dir").alias("is_dir"),
-        F.get_json_object("obj", "$.name").alias("file_name"),
-        F.get_json_object("obj", "$.md5").alias("file_md5"),
-        F.get_json_object("obj", "$.sha1").alias("file_sha1"),
-        F.get_json_object("obj", "$.sha256").alias("file_sha256"),
-        F.get_json_object("obj", "$.public_exponent").alias("pub_exp"),
-        F.get_json_object("obj", "$.modulus").alias("modulus"),
+        "root_sha256", "pred",
+        F.from_json("obj", payload_schema).alias("o"),
     )
 
     def value_props(alias_name: str, col: Column) -> Column:
         return F.to_json(F.struct(col.alias(alias_name)))
 
-    url_props = value_props("value", F.col("url_value"))
-    addr_props = value_props("value", F.col("address"))
-    email_props = value_props("value", F.col("value"))
-    mutex_props = value_props("name", F.col("value"))
-    dir_props = value_props("path", F.col("path_value"))
+    url_props = value_props("value", F.col("o.url"))
+    addr_props = value_props("value", F.col("o.address"))
+    email_props = value_props("value", F.col("o.value"))
+    mutex_props = value_props("name", F.col("o.value"))
+    dir_props = value_props("path", F.col("o.path"))
     # reference Path2.as_stix files carry only the basename
     # (metadata.py:584-599)
-    base_name = F.element_at(F.split(F.col("path_value"), r"[\\/]"), -1)
+    base_name = F.element_at(F.split(F.col("o.path"), r"[\\/]"), -1)
     pathfile_props = value_props("name", base_name)
-    x509_props = F.to_json(F.struct(
-        F.col("pub_exp").cast("long").alias("subject_public_key_exponent"),
-        F.col("modulus").alias("subject_public_key_modulus"),
+    file_props = F.to_json(F.struct(
+        F.struct(
+            F.col("o.md5").alias("MD5"),
+            F.col("o.sha1").alias("SHA-1"),
+            F.col("o.sha256").alias("SHA-256"),
+        ).alias("hashes"),
+        F.col("o.name").alias("name"),
     ))
-    # x509 ids use the reference's own namespace and seed
+    x509_props = F.to_json(F.struct(
+        F.col("o.public_exponent").alias("subject_public_key_exponent"),
+        F.col("o.modulus").alias("subject_public_key_modulus"),
+    ))
+    # x509 id keys use the reference's own namespace and seed
     # (mwcp/metadata.py:2459-2461: uuid5(ns, f"{exponent}//{modulus}"))
-    x509_id = F.concat(
-        F.lit("x509-certificate--"),
-        uuid5_expr(NAMESPACE_MWCP,
-                   F.concat_ws("//", F.col("pub_exp"), F.col("modulus"))),
-    )
+    x509_key = F.concat_ws("//", F.col("o.public_exponent"), F.col("o.modulus"))
 
-    entry = (
-        F.when(F.col("pred") == "url",
-               _entry("url", _sco_id("url", url_props), url_props))
-        .when((F.col("pred") == "socket") & F.col("address").rlike(_IPV4_RE),
-              _entry("ipv4-addr", _sco_id("ipv4-addr", addr_props), addr_props))
-        .when((F.col("pred") == "socket") & F.col("address").isNotNull(),
-              _entry("domain-name", _sco_id("domain-name", addr_props), addr_props))
+    def pick(stix_type: str, key: Column, props: Column) -> Column:
+        return F.struct(
+            F.lit(stix_type).alias("t"), key.alias("k"), props.alias("p"))
+
+    chosen = (
+        F.when(F.col("pred") == "url", pick("url", url_props, url_props))
+        .when((F.col("pred") == "socket") & F.col("o.address").rlike(_IPV4_RE),
+              pick("ipv4-addr", addr_props, addr_props))
+        .when((F.col("pred") == "socket") & F.col("o.address").isNotNull(),
+              pick("domain-name", addr_props, addr_props))
         .when(F.col("pred") == "email_address",
-              _entry("email-addr", _sco_id("email-addr", email_props), email_props))
-        .when(F.col("pred") == "mutex",
-              _entry("mutex", _sco_id("mutex", mutex_props), mutex_props))
-        .when((F.col("pred") == "path") & (F.col("is_dir") == "true"),
-              _entry("directory", _sco_id("directory", dir_props), dir_props))
-        .when(F.col("pred") == "path",
-              _entry("file", _sco_id("file", pathfile_props), pathfile_props))
-        .when(F.col("pred") == "file",
-              _file_sco(F.col("file_name"), F.col("file_md5"),
-                        F.col("file_sha1"), F.col("file_sha256")))
+              pick("email-addr", email_props, email_props))
+        .when(F.col("pred") == "mutex", pick("mutex", mutex_props, mutex_props))
+        .when((F.col("pred") == "path") & F.col("o.is_dir"),
+              pick("directory", dir_props, dir_props))
+        .when(F.col("pred") == "path", pick("file", pathfile_props, pathfile_props))
+        .when(F.col("pred") == "file", pick("file", file_props, file_props))
         .when(F.col("pred") == "rsa_public_key",
-              _entry("x509-certificate", x509_id, x509_props))
+              pick("x509-certificate", x509_key, x509_props))
     )
-    mapped = (
-        m.select("root_sha256", entry.alias("e"))
-        .filter(F.col("e").isNotNull())
-        .select("root_sha256", "e.stix_type", "e.stix_id", "e.stix_json")
+    picked = (
+        m.select("root_sha256", chosen.alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("root_sha256", "c.t", "c.k", "c.p")
+    )
+    ns = F.when(F.col("t") == "x509-certificate",
+                F.lit(NAMESPACE_MWCP.bytes)).otherwise(F.lit(NAMESPACE_SCO.bytes))
+    stix_id = F.concat(F.col("t"), F.lit("--"), uuid5_expr(ns, F.col("k")))
+    head = F.concat(F.lit('{"type":"'), F.col("t"), F.lit('","id":"'), stix_id)
+    body = F.when(
+        F.col("p").isNotNull() & (F.length("p") > 2),
+        F.concat(head, F.lit('",'), F.col("p").substr(F.lit(2), F.length("p"))),
+    ).otherwise(F.concat(head, F.lit('"}')))
+    mapped = picked.select(
+        "root_sha256",
+        F.col("t").alias("stix_type"),
+        stix_id.alias("stix_id"),
+        body.alias("stix_json"),
     )
 
     # root input files are not mention elements (output_file=False) but the
