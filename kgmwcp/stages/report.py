@@ -56,16 +56,18 @@ def reports_of(records: DataFrame, parser: str | None = None,
     # per-root log + error lists (reference report model fields
     # mwcp/metadata.py:2941-2942; logs include errors, reference
     # get_logs()/errors split).  Sorted for run determinism — the
-    # reference compares reports order-insensitively anyway.
-    logs = (
-        records.filter(F.col("kind") == "log")
+    # reference compares reports order-insensitively anyway.  One pass:
+    # conditional collect_lists (they skip nulls) instead of two filtered
+    # groupBys + two joins.
+    logs_errors = (
+        records.filter(F.col("kind").isin("log", "error"))
         .groupBy("root_sha256")
-        .agg(F.array_sort(F.collect_list("error")).alias("logs"))
-    )
-    errors = (
-        records.filter(F.col("kind") == "error")
-        .groupBy("root_sha256")
-        .agg(F.array_sort(F.collect_list("error")).alias("errors"))
+        .agg(
+            F.array_sort(F.collect_list(
+                F.when(F.col("kind") == "log", F.col("error")))).alias("logs"),
+            F.array_sort(F.collect_list(
+                F.when(F.col("kind") == "error", F.col("error")))).alias("errors"),
+        )
     )
     # identical content can arrive under several (repo, path, commit) rows;
     # pick provenance deterministically (min over the provenance struct)
@@ -98,8 +100,7 @@ def reports_of(records: DataFrame, parser: str | None = None,
     )
     joined = (
         roots.join(grouped, "root_sha256", "left")
-        .join(logs, "root_sha256", "left")
-        .join(errors, "root_sha256", "left")
+        .join(logs_errors, "root_sha256", "left")
     )
     entries = F.coalesce(F.col("entries"), F.array().cast("array<string>"))
     empty = F.array().cast("array<string>")
