@@ -137,7 +137,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         )
         for j in range(_N_BANDS)
     ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    # persist the (tiny: 16 rows/doc) bands table: without it the
+    # self-join's two aliases re-run the whole shingle+md5+128-agg
+    # pipeline once each (measured: warm 5.2 s -> 1.0 s, cold 16.6 ->
+    # 13.6 s at sf0.1)
+    from pyspark.storagelevel import StorageLevel
+
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # window-count cap + self-join measured FASTER than
     # groupBy+collect_list+double-explode (3.3s vs 4.3s at sf0.1,
     # local[32] warm): the join reuses the window's band_key exchange,
