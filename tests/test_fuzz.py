@@ -66,3 +66,71 @@ def test_basecodec_roundtrip_random_alphabet(data, seed):
     alphabet = bytes(standard) + b"="
     encoded = basecodec.encode(data, alphabet=alphabet)
     assert basecodec.decode(encoded, alphabet=alphabet) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(code=st.text(min_size=0, max_size=300))
+def test_posh_deobfuscate_total(code):
+    """The hand-written recursive-descent PS grammar must terminate and
+    never raise on arbitrary text, and its rewrite must be idempotent
+    (fixpoint output re-deobfuscates to itself)."""
+    from kgmwcp.engine import posh
+
+    out, strings = posh.deobfuscate(code)
+    assert isinstance(out, str)
+    assert all(isinstance(s, str) and s for s in strings)
+    out2, _ = posh.deobfuscate(out)
+    assert out2 == out
+
+
+@settings(max_examples=150, deadline=None)
+@given(code=st.text(
+    alphabet="'\"()+,-.[]$ `\\fFjJoOiInNsSpPlLiItTcCrReEaAhHxXgG0123456789",
+    min_size=0, max_size=200,
+))
+def test_posh_deobfuscate_total_operator_soup(code):
+    """Same, over an alphabet dense in grammar tokens (quotes, operators,
+    keyword letters) to hit the parser's backtracking paths."""
+    from kgmwcp.engine import posh
+
+    out, _ = posh.deobfuscate(code)
+    out2, _ = posh.deobfuscate(out)
+    assert out2 == out
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_format_views_never_raise(data):
+    """parse_elf / parse_macho / IsoReader probes must be total on
+    arbitrary bytes (the obtain_* contract: None, never an exception)."""
+    from kgmwcp.engine import elf, iso9660, macho
+
+    e = elf.parse_elf(data)
+    if e is not None:
+        list(e.sections())
+        _ = e.architecture
+    m = macho.parse_macho(data)
+    if m is not None:
+        _ = m.cpu_types()
+        for sl in m.slices:
+            list(sl.sections())
+    assert iso9660.is_iso(data) in (True, False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048), seed=st.integers(0, 2**31))
+def test_elf_mutation_never_raises(data, seed):
+    """Bit-flipped REAL ELF images (valid magic, corrupted structure)."""
+    import random as _r
+
+    from kgmwcp import fixtures
+    from kgmwcp.engine import elf
+
+    base = bytearray(fixtures.elf_payload(0))
+    rng = _r.Random(seed)
+    for _ in range(8):
+        base[rng.randrange(16, len(base))] = rng.randrange(256)
+    e = elf.parse_elf(bytes(base))
+    if e is not None:
+        list(e.sections())
+        _ = e.architecture
