@@ -16,6 +16,41 @@ def _docs(spark, sf_dir):
 
 _TOKENS = r"""filter(split(text, '\\s+'), x -> x != '')"""
 
+# -- BPE-ish subword token counting ---------------------------------------------
+# GPT-2-style pre-tokenizer regex, lookahead-free so it is valid in BOTH
+# Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs.  Whitespace between matches
+# is simply not captured.  The regex rides in as a literal Column / an
+# escaped SQL literal (Spark SQL string literals eat backslashes).
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    ws = F.expr(_TOKENS)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.greatest(F.size(ws), F.lit(1)), 4)
+        .alias("bpe_per_word"),
+    )
+
+
+SQL_TEXT_BPE_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{re}')) AS n_bpe_tokens,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '{re}'))
+             / greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')), 1), 4)
+         AS bpe_per_word
+FROM documents
+""".format(re=_BPE_RE.replace("'", "''"))
+
+
 # -- token stats -------------------------------------------------------------
 
 def q_text_token_count(spark, sf_dir):
@@ -240,6 +275,7 @@ FROM documents
 
 QUERIES = {
     "text_token_count": q_text_token_count,
+    "text_bpe_tokens": q_text_bpe_tokens,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
@@ -250,6 +286,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
