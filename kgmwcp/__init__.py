@@ -16,13 +16,15 @@ from kgmwcp.pipeline import Pipeline, PipelineConfig  # noqa: F401
 
 
 def run(spark, docs, parser=None, knowledge_base=None, n_buckets=256,
-        extract_partitions=None):
+        extract_partitions=None, router=False):
     """Library entry point mirroring the reference's ``mwcp.run``
     (mwcp/core.py:16-84): documents DataFrame in, KG tables out.
 
     ``parser`` restricts routing to one group (None = auto registry
-    routing); returns {"records", "mentions", "files", "triples",
-    "nodes", "edges", "reports"} DataFrames (SURVEY.md §3.2).
+    routing); ``router=True`` enables the JVM signature router stage
+    (the YARA-routing analogue, stages/router.py).  Returns {"records",
+    "mentions", "files", "triples", "nodes", "edges", "reports",
+    "stix"} DataFrames (SURVEY.md §3.2).
     """
     from pyspark.sql import functions as F
 
@@ -30,6 +32,7 @@ def run(spark, docs, parser=None, knowledge_base=None, n_buckets=256,
         n_buckets=n_buckets,
         extract_partitions=extract_partitions,
         knowledge_base=dict(knowledge_base or {}),
+        use_router=router,
     )
     if parser:
         docs = docs.withColumn("route", F.lit(parser))
