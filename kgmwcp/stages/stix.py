@@ -192,19 +192,29 @@ def stix_objects_of(records: DataFrame) -> DataFrame:
     # root input files are not mention elements (output_file=False) but the
     # reference writes the sample's file SCO first
     # (report_writer.py:39-52); synthesize it from the file tree
-    roots = (
-        files_of(records)
-        .filter(F.col("depth") == 0)
-        .select(
-            F.col("sha256").alias("root_sha256"),
-            _file_sco(F.col("name"), F.col("md5"),
-                      F.lit(None).cast("string"), F.col("sha256")).alias("e"),
-        )
-        .dropDuplicates(["root_sha256"])
-        .select("root_sha256", "e.stix_type", "e.stix_id", "e.stix_json")
-    )
+    roots = _root_files(records).select(
+        "root_sha256", "e.stix_type", "e.stix_id", "e.stix_json")
     return mapped.unionByName(roots).dropDuplicates(
         ["root_sha256", "stix_id"])
+
+
+def _root_files(records: DataFrame) -> DataFrame:
+    """(root_sha256, e=file-SCO struct, parser) — one deterministic row per
+    root.  Identical content can arrive under several names; pick the min
+    (name, parser) like reports_of's provenance rule, so the sample's SCO
+    id is stable across runs and matches the bundle's sample_ref."""
+    return (
+        files_of(records)
+        .filter(F.col("depth") == 0)
+        .groupBy(F.col("sha256").alias("root_sha256"), F.col("md5"))
+        .agg(F.min(F.struct("name", "parser")).alias("prov"))
+        .select(
+            "root_sha256",
+            _file_sco(F.col("prov.name"), F.col("md5"),
+                      F.lit(None).cast("string"), F.col("root_sha256")).alias("e"),
+            F.col("prov.parser").alias("parser"),
+        )
+    )
 
 
 def stix_bundles_of(records: DataFrame,
@@ -213,18 +223,12 @@ def stix_bundles_of(records: DataFrame,
     closing malware-analysis SDO (report_writer.py:92-117), one bundle per
     root sample."""
     objects = stix_objects_of(records)
-    # sample_ref: the root's own file SCO
-    root_file = (
-        files_of(records)
-        .filter(F.col("depth") == 0)
-        .select(
-            F.col("sha256").alias("root_sha256"),
-            _file_sco(F.col("name"), F.col("md5"),
-                      F.lit(None).cast("string"), F.col("sha256"))
-            .getField("stix_id").alias("sample_ref"),
-            F.col("parser").alias("parser"),
-        )
-        .dropDuplicates(["root_sha256"])
+    # sample_ref: the root's own file SCO (same deterministic provenance
+    # pick as stix_objects_of, so the ref always matches an object id)
+    root_file = _root_files(records).select(
+        "root_sha256",
+        F.col("e.stix_id").alias("sample_ref"),
+        "parser",
     )
     grouped = (
         objects

@@ -313,3 +313,17 @@ def test_report_external_knowledge_and_recursive(tables):
     report = json.loads(row["report_json"])
     assert report["recursive"] is True
     assert report["external_knowledge"] == {"secret": "hello"}
+
+
+def test_stix_sample_ref_deterministic_for_dup_content(tables):
+    """dup_a/dup_b share content under two names: the root file SCO must
+    pick deterministic provenance (min name) and sample_ref must always
+    appear among the bundle's objects."""
+    dup_sha = hashlib.sha256(fixtures.PS1_URLS.encode()).hexdigest()
+    row = next(r for r in tables["stix"].collect() if r["root_sha256"] == dup_sha)
+    b = json.loads(row["bundle_json"])
+    ma = next(o for o in b["objects"] if o["type"] == "malware-analysis")
+    ids = {o["id"] for o in b["objects"]}
+    assert ma["sample_ref"] in ids
+    sample = next(o for o in b["objects"] if o["id"] == ma["sample_ref"])
+    assert sample["name"] == "dup_a.ps1"  # min(name) of the two provenances
