@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import datetime
 import struct
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 __all__ = ["MiniPE", "parse_pe", "build_pe", "RESOURCE_TYPES"]
 
@@ -186,6 +186,105 @@ class MiniPE:
         return out
 
 
+    # -- sections / address mapping extras (pefileutils.py:32-144) -------------
+    def section_data(self, name: str) -> Optional[bytes]:
+        """Raw bytes of the named section (pefileutils.obtain_section_data)."""
+        for s in self.sections:
+            if s.name == name:
+                return self.data[s.raw_pointer:s.raw_pointer + s.raw_size]
+        return None
+
+    def offset_to_rva(self, offset: int) -> Optional[int]:
+        """File offset -> memory RVA (pefileutils.obtain_memory_offset)."""
+        for s in self.sections:
+            if s.raw_pointer <= offset < s.raw_pointer + s.raw_size:
+                return s.virtual_address + (offset - s.raw_pointer)
+        return None
+
+    def _cstr_at_rva(self, rva: int) -> Optional[str]:
+        off = self.rva_to_offset(rva)
+        if off is None:
+            return None
+        end = self.data.find(b"\x00", off)
+        if end <= off:
+            return None
+        return self.data[off:end].decode("ascii", "backslashreplace")
+
+    # -- export / import tables (pefileutils.py:170-268) -----------------------
+    def exports(self) -> List[str]:
+        """Export names (pefileutils.obtain_exports_list)."""
+        if not self.data_directories:
+            return []
+        rva, size = self.data_directories[0]
+        off = self.rva_to_offset(rva) if rva and size else None
+        if off is None or off + 40 > len(self.data):
+            return []
+        # +24 NumberOfNames, +28 AddressOfFunctions (skipped), +32 AddressOfNames
+        n_names, names_rva = struct.unpack_from("<I4xI", self.data, off + 24)
+        names_off = self.rva_to_offset(names_rva)
+        if names_off is None:
+            return []
+        out = []
+        for i in range(min(n_names, 8192)):
+            pos = names_off + 4 * i
+            if pos + 4 > len(self.data):
+                break
+            (name_rva,) = struct.unpack_from("<I", self.data, pos)
+            name = self._cstr_at_rva(name_rva)
+            if name:
+                out.append(name)
+        return out
+
+    def imports(self) -> Dict[str, List[str]]:
+        """{dll: [imported names]} from the import directory
+        (pefileutils.obtain_imported_dlls / obtain_imports_list)."""
+        out: Dict[str, List[str]] = {}
+        if len(self.data_directories) <= 1:
+            return out
+        rva, size = self.data_directories[1]
+        base = self.rva_to_offset(rva) if rva and size else None
+        if base is None:
+            return out
+        ptr = 8 if self.is_64bit else 4
+        ordinal_flag = 1 << (ptr * 8 - 1)
+        for i in range(256):  # descriptor walk, zero-terminated
+            d = base + i * 20
+            if d + 20 > len(self.data):
+                break
+            oft, _ts, _fwd, name_rva, ft = struct.unpack_from("<IIIII", self.data, d)
+            if not (oft or name_rva or ft):
+                break
+            dll = self._cstr_at_rva(name_rva)
+            if not dll:
+                continue
+            names: List[str] = []
+            thunk_off = self.rva_to_offset(oft or ft)
+            if thunk_off is not None:
+                for j in range(8192):
+                    t = thunk_off + j * ptr
+                    if t + ptr > len(self.data):
+                        break
+                    (entry,) = struct.unpack_from(
+                        "<Q" if self.is_64bit else "<I", self.data, t)
+                    if not entry:
+                        break
+                    if entry & ordinal_flag:
+                        names.append(f"ordinal_{entry & 0xFFFF}")
+                        continue
+                    # hint/name: 2-byte hint then the NUL-terminated name
+                    name = self._cstr_at_rva((entry & (ordinal_flag - 1)) + 2)
+                    if name:
+                        names.append(name)
+            out[dll] = names
+        return out
+
+    def is_imported(self, dll_name: str, func_name: str) -> bool:
+        """pefileutils.is_imported (case-insensitive dll match)."""
+        for dll, names in self.imports().items():
+            if dll.lower() == dll_name.lower():
+                return func_name in names
+        return False
+
     # -- original filename recovery (pefileutils.py:350-418) -------------------
     def export_name(self) -> Optional[str]:
         """DLL name from the export directory
@@ -300,11 +399,14 @@ def build_pe(
     overlay: bytes = b"",
     resources: Optional[List[Tuple[int, int, bytes]]] = None,
     export_name: Optional[bytes] = None,
+    exports: Optional[List[bytes]] = None,
+    imports: Optional[Dict[bytes, List[bytes]]] = None,
 ) -> bytes:
     """Deterministic minimal PE: one .text section with ``payload``,
     optional .rsrc section with [(type_id, res_id, data)], optional
-    .edata section carrying ``export_name`` as the export-dir DLL name,
-    optional overlay."""
+    .edata section carrying ``export_name`` as the export-dir DLL name
+    plus an ``exports`` name table, optional .idata import directory
+    {dll: [func, ...]}, optional overlay."""
     is64 = machine == MACHINE_AMD64
     align = 0x200
     valign = 0x1000
@@ -319,14 +421,65 @@ def build_pe(
         sections.append((b".rsrc", pad(rsrc_raw, align)))
     edata_raw = b""
     edata_va = 0
-    if export_name:
+    if export_name or exports:
         edata_va = valign * (len(sections) + 1)
-        # IMAGE_EXPORT_DIRECTORY (40 bytes): Name RVA at offset 12 points
-        # just past the struct
+        names = list(exports or [])
+        n = len(names)
+        funcs_off = 40
+        names_off = funcs_off + 4 * n
+        ords_off = names_off + 4 * n
+        dllname_off = ords_off + 2 * n
+        body = bytearray()
+        body += b"\x00" * (4 * n)                       # AddressOfFunctions
+        names_array_pos = len(body)
+        body += b"\x00" * (4 * n)                       # AddressOfNames (patched)
+        for i in range(n):
+            body += struct.pack("<H", i)                # ordinals
+        body += (export_name or b"lib.dll") + b"\x00"
+        for i, nm in enumerate(names):
+            struct.pack_into("<I", body, names_array_pos + 4 * i,
+                             edata_va + 40 + len(body))
+            body += nm + b"\x00"
+        # IMAGE_EXPORT_DIRECTORY (40 bytes)
         edata_raw = struct.pack(
-            "<IIHHIIIIIII", 0, 0, 0, 0, edata_va + 40, 1, 0, 0, 0, 0, 0,
-        ) + export_name + b"\x00"
+            "<IIHHIIIIIII", 0, 0, 0, 0,
+            edata_va + 40 + dllname_off - 40,           # Name RVA
+            1, n, n,
+            edata_va + 40 + funcs_off - 40,             # AddressOfFunctions
+            edata_va + 40 + names_off - 40,             # AddressOfNames
+            edata_va + 40 + ords_off - 40,              # AddressOfNameOrdinals
+        ) + bytes(body)
         sections.append((b".edata", pad(edata_raw, align)))
+    idata_raw = b""
+    idata_va = 0
+    if imports:
+        idata_va = valign * (len(sections) + 1)
+        ptr = 8 if is64 else 4
+        dlls = list(imports.items())
+        descs_size = (len(dlls) + 1) * 20
+        body = bytearray(descs_size)
+        thunk_rvas = []
+        for dll, funcs in dlls:
+            thunk_rvas.append(idata_va + len(body))
+            body += b"\x00" * ((len(funcs) + 1) * ptr)
+        hint_rvas = {}
+        for dll, funcs in dlls:
+            for fn in funcs:
+                hint_rvas[(dll, fn)] = idata_va + len(body)
+                body += b"\x00\x00" + fn + b"\x00"
+        dll_rvas = {}
+        for dll, _funcs in dlls:
+            dll_rvas[dll] = idata_va + len(body)
+            body += dll + b"\x00"
+        for i, (dll, funcs) in enumerate(dlls):
+            struct.pack_into("<IIIII", body, i * 20,
+                             thunk_rvas[i], 0, 0, dll_rvas[dll], thunk_rvas[i])
+            toff = thunk_rvas[i] - idata_va
+            for j, fn in enumerate(funcs):
+                struct.pack_into("<Q" if is64 else "<I", body, toff + j * ptr,
+                                 hint_rvas[(dll, fn)])
+        idata_raw = bytes(body)
+        sections.append((b".idata", pad(idata_raw, align)))
 
     n_sections = len(sections)
     size_opt = 240 if is64 else 224
@@ -364,9 +517,12 @@ def build_pe(
     if resources:
         struct.pack_into("<II", opt, dd_offset + DIR_RESOURCE * 8,
                          valign * 2, len(rsrc_raw))
-    if export_name:
+    if export_name or exports:
         struct.pack_into("<II", opt, dd_offset + 0 * 8,
                          edata_va, len(edata_raw))
+    if imports:
+        struct.pack_into("<II", opt, dd_offset + 1 * 8,
+                         idata_va, len(idata_raw))
 
     sec_table = b""
     for name, vsize, va, raw_size, ptr in sec_entries:

@@ -769,3 +769,58 @@ class TestPEOriginalFilename:
         blob = pe.build_pe(payload=b"\x90" * 32)
         expected = hashlib.md5(blob).hexdigest() + "_x86.exe"
         assert SampleFile(blob).name == expected
+
+
+class TestPEExportsImports:
+    """pefileutils export/import surface (pefileutils.py:170-268)."""
+
+    def _blob(self):
+        from kgmwcp.engine import pe
+
+        return pe.build_pe(
+            payload=b"\x90" * 64, dll=True, export_name=b"core.dll",
+            exports=[b"Init", b"RunPayload", b"Shutdown"],
+            imports={b"KERNEL32.dll": [b"CreateFileA", b"ReadFile"],
+                     b"WS2_32.dll": [b"connect", b"send"]},
+        )
+
+    def test_exports_list(self):
+        from kgmwcp.engine import pe
+
+        p = pe.parse_pe(self._blob())
+        assert p.exports() == ["Init", "RunPayload", "Shutdown"]
+        assert p.export_name() == "core.dll"
+
+    def test_imports(self):
+        from kgmwcp.engine import pe
+
+        p = pe.parse_pe(self._blob())
+        assert p.imports() == {
+            "KERNEL32.dll": ["CreateFileA", "ReadFile"],
+            "WS2_32.dll": ["connect", "send"],
+        }
+        assert p.is_imported("kernel32.DLL", "ReadFile")
+        assert not p.is_imported("user32.dll", "MessageBoxA")
+
+    def test_imports_64bit_thunks(self):
+        from kgmwcp.engine import pe
+
+        blob = pe.build_pe(payload=b"\x90" * 32, machine=pe.MACHINE_AMD64,
+                           imports={b"ntdll.dll": [b"NtCreateFile"]})
+        assert pe.parse_pe(blob).imports() == {"ntdll.dll": ["NtCreateFile"]}
+
+    def test_section_data_and_offset_mapping(self):
+        from kgmwcp.engine import pe
+
+        p = pe.parse_pe(self._blob())
+        assert p.section_data(".text").startswith(b"\x90" * 16)
+        assert p.section_data(".missing") is None
+        off = p.rva_to_offset(0x1000)
+        assert p.offset_to_rva(off) == 0x1000
+
+    def test_no_tables_empty(self):
+        from kgmwcp.engine import pe
+
+        p = pe.parse_pe(pe.build_pe(payload=b"\x90" * 16))
+        assert p.exports() == []
+        assert p.imports() == {}
