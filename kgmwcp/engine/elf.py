@@ -52,16 +52,17 @@ class ElfFile:
         self.endian = "<" if ei_data == 1 else ">"
         e = self.endian
         if self.is_64:
-            (self.e_type, self.e_machine, _ver, self.e_entry, _phoff,
-             self.e_shoff, _flags, _ehsize, _phentsize, _phnum,
+            (self.e_type, self.e_machine, _ver, self.e_entry, self.e_phoff,
+             self.e_shoff, _flags, _ehsize, self.e_phentsize, self.e_phnum,
              self.e_shentsize, self.e_shnum, self.e_shstrndx) = struct.unpack_from(
                 e + "HHIQQQIHHHHHH", data, 16)
         else:
-            (self.e_type, self.e_machine, _ver, self.e_entry, _phoff,
-             self.e_shoff, _flags, _ehsize, _phentsize, _phnum,
+            (self.e_type, self.e_machine, _ver, self.e_entry, self.e_phoff,
+             self.e_shoff, _flags, _ehsize, self.e_phentsize, self.e_phnum,
              self.e_shentsize, self.e_shnum, self.e_shstrndx) = struct.unpack_from(
                 e + "HHIIIIIHHHHHH", data, 16)
         self._sections: Optional[List[Tuple[str, int, int]]] = None
+        self._segments: Optional[List[Tuple[int, int, int, int]]] = None
 
     # -- architecture -------------------------------------------------------
     @property
@@ -115,6 +116,46 @@ class ElfFile:
         for sec_name, blob in self.sections():
             if sec_name == name:
                 return blob
+        return None
+
+    # -- segments / address mapping (elffileutils.py:92-128) -------------------
+    def segments(self) -> List[Tuple[int, int, int, int]]:
+        """(p_type, p_offset, p_vaddr, p_filesz) per program header."""
+        if self._segments is not None:
+            return self._segments
+        out: List[Tuple[int, int, int, int]] = []
+        data, e = self.data, self.endian
+        ent = self.e_phentsize
+        for i in range(min(self.e_phnum, 128)):
+            off = self.e_phoff + i * ent
+            if not self.e_phoff or off + ent > len(data):
+                break
+            if self.is_64:
+                p_type, _fl, p_offset, p_vaddr = struct.unpack_from(
+                    e + "IIQQ", data, off)
+                (p_filesz,) = struct.unpack_from(e + "Q", data, off + 32)
+            else:
+                p_type, p_offset, p_vaddr = struct.unpack_from(
+                    e + "III", data, off)
+                (p_filesz,) = struct.unpack_from(e + "I", data, off + 16)
+            out.append((p_type, p_offset, p_vaddr, p_filesz))
+        self._segments = out
+        return out
+
+    def vaddr_to_offset(self, vaddr: int) -> Optional[int]:
+        """Memory address -> file offset via the first covering segment
+        (elffileutils.obtain_physical_offset)."""
+        for _t, p_offset, p_vaddr, p_filesz in self.segments():
+            if p_vaddr <= vaddr < p_vaddr + p_filesz:
+                return p_offset + (vaddr - p_vaddr)
+        return None
+
+    def offset_to_vaddr(self, offset: int) -> Optional[int]:
+        """File offset -> memory address
+        (elffileutils.obtain_memory_offset)."""
+        for _t, p_offset, p_vaddr, p_filesz in self.segments():
+            if p_offset <= offset < p_offset + p_filesz:
+                return p_vaddr + (offset - p_offset)
         return None
 
 

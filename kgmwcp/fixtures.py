@@ -442,30 +442,40 @@ def subsdk_payload(inner: bytes, key: bytes = b"0123456789abcdef") -> bytes:
     return header + bytes(body)
 
 
-def elf_payload(variant: int = 0, machine: int = 0x3E) -> bytes:
-    """Minimal valid ELF64 little-endian relocatable: null + .text +
-    .shstrtab sections (enough for engine/elf.py's header + section walk)."""
+def elf_payload(variant: int = 0, machine: int = 0x3E,
+                with_segment: bool = False) -> bytes:
+    """Minimal valid ELF64 little-endian image: null + .text + .shstrtab
+    sections, optionally one PT_LOAD program header mapping .text at
+    vaddr 0x400000+off (segment address mapping, elffileutils.py:92-128)."""
     import struct
 
     text = b"\x90" * 16 + f"elf-variant-{variant}".encode()
     shstrtab = b"\x00.text\x00.shstrtab\x00"
-    text_off = 64
+    ph_size = 56 if with_segment else 0
+    text_off = 64 + ph_size
     str_off = text_off + len(text)
     sh_off = (str_off + len(shstrtab) + 7) & ~7
 
     ehdr = struct.pack(
         "<4sBBBBB7xHHIQQQIHHHHHH",
         b"\x7fELF", 2, 1, 1, 0, 0,     # 64-bit, little-endian, SYSV
-        1, machine, 1,                 # ET_REL, e_machine, EV_CURRENT
-        0, 0, sh_off, 0,               # entry, phoff, shoff, flags
-        64, 0, 0, 64, 3, 2,            # ehsize, phent, phnum, shent, shnum, shstrndx
+        2 if with_segment else 1, machine, 1,  # ET_EXEC/ET_REL, machine, ver
+        0, 64 if with_segment else 0, sh_off, 0,  # entry, phoff, shoff, flags
+        64, 56 if with_segment else 0, 1 if with_segment else 0,
+        64, 3, 2,                      # shent, shnum, shstrndx
     )
+    phdr = b""
+    if with_segment:
+        phdr = struct.pack("<IIQQQQQQ", 1, 5, text_off,
+                           0x400000 + text_off, 0x400000 + text_off,
+                           len(text), len(text), 0x1000)
 
     def shdr(name_off, typ, offset, size):
         return struct.pack("<IIQQQQIIQQ", name_off, typ, 0, 0, offset, size,
                            0, 0, 1, 0)
 
     blob = bytearray(ehdr)
+    blob += phdr
     blob += text
     blob += shstrtab
     blob += b"\x00" * (sh_off - len(blob))

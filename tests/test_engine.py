@@ -824,3 +824,25 @@ class TestPEExportsImports:
         p = pe.parse_pe(pe.build_pe(payload=b"\x90" * 16))
         assert p.exports() == []
         assert p.imports() == {}
+
+
+class TestElfSegments:
+    def test_segment_address_mapping(self):
+        from kgmwcp.engine.elf import parse_elf
+
+        e = parse_elf(fixtures.elf_payload(0, with_segment=True))
+        assert e.architecture == "x64"
+        segs = e.segments()
+        assert len(segs) == 1 and segs[0][0] == 1  # one PT_LOAD
+        text_off = 64 + 56
+        va = e.offset_to_vaddr(text_off + 4)
+        assert va == 0x400000 + text_off + 4
+        assert e.vaddr_to_offset(va) == text_off + 4
+        assert e.vaddr_to_offset(0x1) is None
+
+    def test_no_program_headers(self):
+        from kgmwcp.engine.elf import parse_elf
+
+        e = parse_elf(fixtures.elf_payload(0))
+        assert e.segments() == []
+        assert e.offset_to_vaddr(70) is None
