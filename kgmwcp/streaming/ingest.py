@@ -41,11 +41,18 @@ def stream_documents(spark: SparkSession, source_dir: str,
 
 def stream_records(docs_stream: DataFrame,
                    config: Optional[PipelineConfig] = None) -> DataFrame:
-    """documents stream -> records stream (stage 0 + extract, stateless)."""
+    """documents stream -> records stream (stage 0 [+ router] + extract,
+    stateless — the signature router is a pure projection, so it composes
+    onto the stream unchanged)."""
+    from kgmwcp.stages.router import route_samples
+
     config = config or PipelineConfig()
     samples = prepare_samples(docs_stream, n_buckets=config.n_buckets)
+    if config.use_router:
+        samples = route_samples(samples)
     return extract_records(samples, group_order=config.group_order,
-                           knowledge_base=config.knowledge_base)
+                           knowledge_base=config.knowledge_base,
+                           route_scope="root" if config.use_router else "all")
 
 
 def run_available_now(spark: SparkSession, source_dir: str, out_dir: str,

@@ -123,3 +123,17 @@ def test_first_seen_entities_state_across_batches_and_restart(spark, tmp_path):
     assert sorted(r["entity_id"] for r in rows) == ["e1", "e2", "e3"]
     e3 = next(r for r in rows if r["entity_id"] == "e3")
     assert e3["first_subj"] == "s4"
+
+
+def test_streaming_with_router_matches_batch(spark, tmp_path):
+    """The signature router composes onto readStream (pure projection):
+    routed streaming triples == routed batch triples."""
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    config = PipelineConfig(n_buckets=8, knowledge_base={"secret": "hello"},
+                            use_router=True)
+    corpus = fixtures.corpus_df(spark, replication=1, hot_rows=2)
+    corpus.write.mode("append").parquet(src)
+    tables = run_available_now(spark, src, out, config)
+    expected = _triples_set(Pipeline(config).run(corpus)["triples"])
+    assert _triples_set(tables["triples"]) == expected
