@@ -84,6 +84,13 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     if not _pathlib.Path(args.input).exists():
         print(f"error: input path does not exist: {args.input}", file=_sys.stderr)
         raise SystemExit(1)
+    if args.parser:
+        from kgmwcp.engine.parsers import RULE_GROUPS
+
+        if args.parser not in RULE_GROUPS:
+            print(f"error: unknown parser group: {args.parser} "
+                  f"(known: {', '.join(sorted(RULE_GROUPS))})", file=_sys.stderr)
+            raise SystemExit(1)
     # surface the active external knowledge — an omitted --knowledge-base
     # silently changes parser output (e.g. the foo secret element)
     print(f"knowledge_base keys: {sorted(config.knowledge_base) or '(none)'}",
