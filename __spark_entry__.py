@@ -120,8 +120,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for suite in _SUITES:
         out.update(suite.ORACLES)
+    # Pipeline oracles: the engine-independent golden tables derived by
+    # kgmwcp/goldens.py (hashlib/uuid/json restatement of the reference's
+    # documented semantics — no kgmwcp engine/stage code), serialized to
+    # committed parquet by scripts/make_goldens.py at the same fixture
+    # scale (replication=4, hot_rows=16) the queries above run.
+    # tests/test_goldens.py pins the committed parquet to a fresh rebuild.
+    g = _GOLDEN_DIR
+    out["pipeline_fixture_triples"] = (
+        f"SELECT subj, pred, obj FROM read_parquet('{g}/pipeline_triples.parquet')"
+    )
+    out["pipeline_fixture_nodes"] = (
+        "SELECT entity_id, entity_kind, canonical_value, payload, "
+        "n_mentions, n_samples "
+        f"FROM read_parquet('{g}/pipeline_nodes.parquet')"
+    )
+    out["kg_router_routes"] = (
+        f"SELECT path, route, n_sigs, sigs FROM read_parquet('{g}/router_routes.parquet')"
+    )
+    out["kg_stix_bundles"] = (
+        "SELECT root_sha256, n_objects, bundle_json "
+        f"FROM read_parquet('{g}/stix_bundles.parquet')"
+    )
     return out

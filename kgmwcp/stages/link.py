@@ -123,23 +123,31 @@ def nodes_of(records: DataFrame, salt_buckets: int = 16) -> DataFrame:
     length) keeps the richest serialization, mirroring the STIX writer's
     longest-serialization dedupe (mwcp/stix/report_writer.py:142-150).
     n_samples is exact: dedupe (entity_id, subj) first, then count.
+    Ties on payload length break lexicographically (max (length, value)
+    struct) so the picked payload is deterministic across partitionings —
+    required for the golden-parquet oracle compare (kgmwcp/goldens.py).
     """
     ent = entities_of(records)
     salt = F.pmod(F.crc32(F.col("subj")), F.lit(salt_buckets)).cast("int")
+
+    def _richest(col: str):
+        return F.max_by(
+            col, F.struct(F.length(col).alias("l"), F.col(col).alias("v")))
+
     partial = (
         ent.withColumn("salt", salt)
         .groupBy("entity_id", "salt")
         .agg(
             F.first("pred").alias("entity_kind"),
             F.first("canonical_value").alias("canonical_value"),
-            F.max_by("obj", F.length("obj")).alias("payload"),
+            _richest("obj").alias("payload"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
     merged = partial.groupBy("entity_id").agg(
         F.first("entity_kind").alias("entity_kind"),
         F.first("canonical_value").alias("canonical_value"),
-        F.max_by("payload", F.length("payload")).alias("payload"),
+        _richest("payload").alias("payload"),
         F.sum("cnt").alias("n_mentions"),
     )
     per_sample = (

@@ -1,0 +1,41 @@
+"""Pin the committed golden parquet (golden/*.parquet, written by
+scripts/make_goldens.py) to a fresh rebuild of kgmwcp/goldens.py — the
+DuckDB oracle data for the four pipeline entries can never drift from the
+golden derivation code."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from kgmwcp import goldens
+
+GOLD_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "golden")
+R, H = 4, 16  # the driver fixture scale (scripts/make_goldens.py)
+
+CASES = {
+    "pipeline_triples": lambda: goldens.golden_triples(R, H),
+    "pipeline_nodes": lambda: goldens.golden_nodes(R, H),
+    "router_routes": lambda: goldens.golden_routes(R, H),
+    "stix_bundles": lambda: goldens.golden_stix(R, H),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_committed_parquet_matches_rebuild(name):
+    path = os.path.join(GOLD_DIR, f"{name}.parquet")
+    assert os.path.exists(path), (
+        f"{path} missing — run scripts/make_goldens.py and commit the output")
+    committed = [tuple(row) for row in
+                 zip(*(c.to_pylist() for c in pq.read_table(path).columns))]
+    rebuilt = [tuple(r) for r in CASES[name]()]
+    assert committed == rebuilt, (
+        f"{name}: committed golden parquet is stale — rerun scripts/make_goldens.py")
+
+
+def test_golden_counts():
+    assert len(goldens.golden_triples(R, H)) == 218
+    assert len(goldens.golden_nodes(R, H)) == 61
+    assert len(goldens.golden_routes(R, H)) == 100
+    assert len(goldens.golden_stix(R, H)) == 93
