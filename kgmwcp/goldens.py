@@ -102,6 +102,23 @@ CLASS_ORDER = [
     "rsa_xml", "foo_any", "unidentified", "dup_a", "dup_b", "zip_native",
 ]
 
+# root description per class = the identifying rule's DESCRIPTION
+# (reference dispatcher.py:204-253 sets description before run)
+CLASS_DESCRIPTION = {
+    "ps1_urls": "PowerShell Script", "pdf_iocs": "PDF Document",
+    "vbs_plain": "VBScript", "vbe_script": "Encoded VBScript",
+    "zip_nested": "Zip Archive File", "gzip_tar": "Gzip Archive file",
+    "decoy_doc": "Decoy Document (.doc)", "qb_xor": "Symantec Quarantined QB",
+    "mcafee_bup": "McAfee Quarantined",
+    "defender_q": "Windows Defender Quarantined",
+    "avast_chest": "Avast or AVG", "dropper_overlay": "Dropper (Overlay)",
+    "pem_cert": "Digital Certificate (PEM)", "pem_privkey": "RSA Private Key",
+    "rsa_blob": "RSA Key BLOB", "rsa_xml": "RSA Key XML",
+    "foo_any": "Foo", "unidentified": "Unidentified file",
+    "dup_a": "PowerShell Script", "dup_b": "PowerShell Script",
+    "zip_native": "Zip Archive File", "hot_mutex": "PowerShell Script",
+}
+
 # rule that identifies each class's root (parser provenance on the root
 # file node; reference dispatcher.py:204-253 sets parser before run)
 CLASS_PARSER = {
@@ -530,11 +547,34 @@ def _sco(stix_type: str, key: str, props: str,
     return stix_id, body
 
 
+_OBS_EXT = {"extension-definition--8b1aa84c-5532-4c69-a8e7-b6170facfd3d":
+            {"extension_type": "new-sco"}}
+
+
+def _other_is_note(o: dict) -> bool:
+    """Boolean/integer/empty Other values go to the master note; string
+    values become observed-string SCOs (metadata.py:2018-2035)."""
+    return o.get("value_format") in ("boolean", "integer") or o.get("value") == ""
+
+
+def _json_text(value) -> str:
+    """get_json_object/from_json string rendering for a scalar."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
 def _sco_from_mention(pred: str, obj: str) -> Optional[Tuple[str, str]]:
     o = json.loads(obj)
     if pred == "url":
         props = _jd({"value": o.get("url")})
         return _sco("url", props, props)
+    if pred == "other" and not _other_is_note(o):
+        purpose = o["key"].replace("_", "-").replace(" ", "-").lower()
+        key = _jd({"purpose": purpose, "value": o["value"]})
+        props = _jd({"value": o["value"], "purpose": purpose,
+                     "extensions": _OBS_EXT})
+        return _sco("observed-string", key, props)
     if pred == "socket":
         addr = o.get("address")
         if addr is None:
@@ -570,34 +610,92 @@ def _sco_from_mention(pred: str, obj: str) -> Optional[Tuple[str, str]]:
     return None
 
 
+def _note_line(pred: str, o: dict) -> Optional[str]:
+    """Master-note element line (report_writer.py:37,55-61): free-text
+    Other values and File compile-time/architecture lines."""
+    if pred == "other" and _other_is_note(o):
+        value = o.get("value")
+        line = f"{o['key']}: " + ("" if value is None else _json_text(value))
+        if o.get("tags"):
+            line += f"\n    {o['key']} Tags: " + ", ".join(o["tags"])
+        return line
+    if pred == "file" and (o.get("compile_time") is not None
+                           or o.get("architecture") is not None):
+        ct = o.get("compile_time")
+        arch = o.get("architecture")
+        return (f"Compiled on: {'None' if ct is None else ct}\n"
+                f"For architecture: {'None' if arch is None else arch}")
+    return None
+
+
+def _note(content: str, labels: Optional[List[str]],
+          refs: List[str]) -> Tuple[str, str]:
+    """(note_id, note_json) — consolidation-keyed deterministic note id:
+    uuid5 over content + ' / '.join(labels), the same key the reference's
+    serialize() dedupes on (report_writer.py:107-132)."""
+    seed = "note--" + content + (" / ".join(labels) if labels else "")
+    note_id = "note--" + str(uuid.uuid5(NAMESPACE_MWCP, seed))
+    body = ('{"type":"note","spec_version":"2.1","id":"' + note_id
+            + '","created":"' + FIXED_TIMESTAMP + '","modified":"'
+            + FIXED_TIMESTAMP + '",'
+            + json.dumps({"content": content}, separators=(",", ":"))[1:-1])
+    if labels:
+        body += ',"labels":' + json.dumps(labels, separators=(",", ":"))
+    body += ',"object_refs":' + json.dumps(refs, separators=(",", ":")) + "}"
+    return note_id, body
+
+
 def golden_stix(replication: int, hot_rows: int) -> List[tuple]:
     """(root_sha256, n_objects, bundle_json) — python twin of
     stages/stix.py stix_bundles_of over the fixture corpus."""
     rows = corpus_with_classes(replication, hot_rows)
-    # per-root: provenance pick = min (name, parser) over rows of that root
+    # per-root: provenance pick = min (name, parser, description) over rows
+    # of that root; mention rows keep per-corpus-row multiplicity (the
+    # Spark side's note-line collect_list is over per-record mentions)
     roots: Dict[str, dict] = {}
     for r in rows:
+        prov = (r["root_name"], r["parser"], CLASS_DESCRIPTION[r["cls"]])
         entry = roots.setdefault(r["root_sha256"], {
-            "md5": r["root_md5"], "prov": (r["root_name"], r["parser"]),
-            "cls": r["cls"], "variant": r["variant"],
+            "md5": r["root_md5"], "prov": prov, "mention_rows": [],
         })
-        entry["prov"] = min(entry["prov"], (r["root_name"], r["parser"]))
+        entry["prov"] = min(entry["prov"], prov)
+        entry["mention_rows"].append((r["cls"], r["variant"]))
 
     out = []
     for root_sha, meta in roots.items():
-        name, parser = meta["prov"]
+        name, parser, description = meta["prov"]
         sample_props = _jd({"hashes": {"MD5": meta["md5"], "SHA-1": None,
                                        "SHA-256": root_sha},
                             "name": name})
         sample_ref, sample_json = _sco("file", sample_props, sample_props)
         objects = {sample_ref: sample_json}
-        for _, pred, obj in sorted(class_triples(meta["cls"], meta["variant"])):
-            mapped = _sco_from_mention(pred, obj)
-            if mapped is not None:
-                objects.setdefault(mapped[0], mapped[1])
-        ids = sorted(objects)
-        jsons = sorted(objects.values())
-        refs = sorted(i for i in ids if i != sample_ref)
+        tag_notes: Dict[Tuple[str, Tuple[str, ...]], Set[str]] = {}
+        lines: List[str] = []
+        for cls, variant in meta["mention_rows"]:
+            for _, pred, obj in sorted(class_triples(cls, variant)):
+                o = json.loads(obj)
+                mapped = _sco_from_mention(pred, obj)
+                if mapped is not None:
+                    objects.setdefault(mapped[0], mapped[1])
+                    if o.get("tags"):
+                        content = "MWCP Tags: " + ", ".join(o["tags"])
+                        tag_notes.setdefault(
+                            (content, tuple(o["tags"])), set()).add(mapped[0])
+                line = _note_line(pred, o)
+                if line is not None:
+                    lines.append(line)
+        master_content = "\n".join(
+            ["Description: " + ("None" if description is None else description)]
+            + sorted(lines))
+        notes: Dict[str, str] = {}
+        nid, njson = _note(master_content, None, [sample_ref])
+        notes[nid] = njson
+        for (content, labels), refs in tag_notes.items():
+            nid, njson = _note(content, list(labels), sorted(refs))
+            notes[nid] = njson
+        ids = sorted(list(objects) + list(notes))
+        jsons = sorted(list(objects.values()) + list(notes.values()))
+        refs = sorted(i for i in objects if i != sample_ref)
         analysis_id = ("malware-analysis--"
                        + str(uuid.uuid5(NAMESPACE_MWCP,
                                         "malware-analysis--" + root_sha)))

@@ -221,14 +221,16 @@ SQL_DEDUP_MINHASH_LSH = _sql_dedup_minhash_lsh()
 # the exact decimal sum of labels going stable (one cheap agg action per
 # round, no row-wise compare join).  Iteration count is bounded by
 # component diameter; the hot-band cap keeps components shallow.  At
-# 100 TB each round is one shuffle join on doc_id + one groupBy; truncate
-# lineage with localCheckpoint every ~8 rounds on a real cluster (not
-# needed at test SF).  Oracle: DuckDB recursive CTE over the same pairs.
+# 100 TB each round is one shuffle join on doc_id + one groupBy; every
+# ``checkpoint_every`` rounds the labels lineage is truncated with
+# localCheckpoint so the plan tree stays bounded at real diameters
+# (each persisted round otherwise stacks a new join on the previous
+# plan).  Oracle: DuckDB recursive CTE over the same pairs.
 
 _CLUSTER_MAX_ITERS = 32
 
 
-def q_dedup_cluster(spark, sf_dir):
+def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -243,24 +245,27 @@ def q_dedup_cluster(spark, sf_dir):
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
     prev = labels.agg(label_sum).collect()[0]["s"]
-    for _ in range(_CLUSTER_MAX_ITERS):
+    for i in range(_CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, F.col("src") == F.col("doc_id"))
             .select(F.col("dst").alias("doc_id"), "cluster_id")
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("neighbor_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("neighbor_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce("neighbor_min", F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            # eager localCheckpoint materializes AND truncates lineage —
+            # the next round's join starts from stored blocks, not the
+            # whole join tree built so far
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         cur = new_labels.agg(label_sum).collect()[0]["s"]
         labels.unpersist()
         labels = new_labels

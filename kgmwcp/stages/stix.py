@@ -17,12 +17,28 @@ variant nibbles patched, which maps onto ``sha1`` + string surgery
 inside whole-stage codegen and matches Python's ``uuid.uuid5`` bit for
 bit (pinned in tests).
 
+Note handling follows the reference writer (report_writer.py:37-89,
+107-132): one master Note per report carrying "Description: ..." plus
+every element's free-text note content (integer/boolean/empty ``Other``
+values, File compile-time/architecture lines, metadata.py:2018-2035,
+2857-2858), per-SCO "MWCP Tags: ..." notes for tagged elements
+(metadata.py:477-489), and string-valued ``Other`` elements as
+``observed-string`` extension SCOs (metadata.py:2026-2035,
+stix/extensions.py:36-74).  Consolidation — identical content+labels
+notes merged with object_refs unioned — is a groupBy: note ids are
+uuid5 over the same (content + " / ".join(labels)) key the reference's
+serialize() dedupes on, so equal-key notes land on one id and the refs
+union is ``collect_set``.
+
 Documented divergences from the reference writer:
-* SDO/bundle ids are uuid5 over the root sha256 instead of random
-  uuid4 — deterministic output is a feature in a distributed pipeline
-  (same rationale as the reference's ``fixed_timestamp`` knob);
+* SDO/bundle/note ids are uuid5 over deterministic seeds instead of
+  random uuid4 — deterministic output is a feature in a distributed
+  pipeline (same rationale as the reference's ``fixed_timestamp`` knob);
 * ``created``/``modified`` default to a fixed timestamp;
-* Note consolidation (free-text ``Other`` data) is not emitted.
+* master-note element lines are sorted (the reference keeps report
+  insertion order, which a distributed groupBy cannot reproduce);
+* boolean ``Other`` note values render JSON-style (true/false) rather
+  than Python-style (True/False).
 """
 
 from __future__ import annotations
@@ -115,7 +131,10 @@ def stix_objects_of(records: DataFrame) -> DataFrame:
     payload_schema = ("url string, value string, address string, "
                       "path string, is_dir boolean, name string, "
                       "md5 string, sha1 string, sha256 string, "
-                      "public_exponent bigint, modulus string")
+                      "public_exponent bigint, modulus string, "
+                      "key string, value_format string, "
+                      "architecture string, compile_time string, "
+                      "tags array<string>")
     m = mentions_of(records).select(
         "root_sha256", "pred",
         F.from_json("obj", payload_schema).alias("o"),
@@ -148,6 +167,25 @@ def stix_objects_of(records: DataFrame) -> DataFrame:
     # x509 id keys use the reference's own namespace and seed
     # (mwcp/metadata.py:2459-2461: uuid5(ns, f"{exponent}//{modulus}"))
     x509_key = F.concat_ws("//", F.col("o.public_exponent"), F.col("o.modulus"))
+    # string-valued Other -> observed-string extension SCO
+    # (metadata.py:2026-2035; id-contributing props = [value, purpose],
+    # stix/extensions.py:65); boolean/integer/empty values go to the master
+    # note instead (metadata.py:2018-2025)
+    other_is_note = (
+        F.col("o.value_format").isin("boolean", "integer")
+        | (F.col("o.value") == "")
+    )
+    purpose = F.lower(F.translate(F.col("o.key"), "_ ", "--"))
+    obs_key = F.to_json(F.struct(
+        purpose.alias("purpose"), F.col("o.value").alias("value")))
+    obs_base = F.to_json(F.struct(
+        F.col("o.value").alias("value"), purpose.alias("purpose")))
+    obs_props = F.concat(
+        obs_base.substr(F.lit(1), F.length(obs_base) - 1),
+        F.lit(',"extensions":{"extension-definition--'
+              '8b1aa84c-5532-4c69-a8e7-b6170facfd3d":'
+              '{"extension_type":"new-sco"}}}'),
+    )
 
     def pick(stix_type: str, key: Column, props: Column) -> Column:
         return F.struct(
@@ -168,11 +206,13 @@ def stix_objects_of(records: DataFrame) -> DataFrame:
         .when(F.col("pred") == "file", pick("file", file_props, file_props))
         .when(F.col("pred") == "rsa_public_key",
               pick("x509-certificate", x509_key, x509_props))
+        .when((F.col("pred") == "other") & ~other_is_note,
+              pick("observed-string", obs_key, obs_props))
     )
     picked = (
-        m.select("root_sha256", chosen.alias("c"))
+        m.select("root_sha256", chosen.alias("c"), F.col("o.tags").alias("tags"))
         .filter(F.col("c").isNotNull())
-        .select("root_sha256", "c.t", "c.k", "c.p")
+        .select("root_sha256", "c.t", "c.k", "c.p", "tags")
     )
     ns = F.when(F.col("t") == "x509-certificate",
                 F.lit(NAMESPACE_MWCP.bytes)).otherwise(F.lit(NAMESPACE_SCO.bytes))
@@ -182,20 +222,116 @@ def stix_objects_of(records: DataFrame) -> DataFrame:
         F.col("p").isNotNull() & (F.length("p") > 2),
         F.concat(head, F.lit('",'), F.col("p").substr(F.lit(2), F.length("p"))),
     ).otherwise(F.concat(head, F.lit('"}')))
-    mapped = picked.select(
+    with_ids = picked.select(
         "root_sha256",
         F.col("t").alias("stix_type"),
         stix_id.alias("stix_id"),
         body.alias("stix_json"),
+        "tags",
+    )
+    mapped = with_ids.drop("tags").dropDuplicates(["root_sha256", "stix_id"])
+
+    # per-SCO tag notes (metadata.py:477-489 as_stix_tags): content
+    # "MWCP Tags: ...", labels = the element's tags, ref = the SCO id
+    tag_notes = (
+        with_ids
+        .filter(F.size("tags") > 0)
+        .select(
+            "root_sha256",
+            F.concat(F.lit("MWCP Tags: "),
+                     F.array_join("tags", ", ")).alias("content"),
+            F.col("tags").alias("labels"),
+            F.col("stix_id").alias("ref"),
+        )
+    )
+
+    # master-note element lines (report_writer.py:37,55-61)
+    other_line = F.concat(
+        F.col("o.key"), F.lit(": "), F.coalesce(F.col("o.value"), F.lit("")),
+        F.when(F.size("o.tags") > 0,
+               F.concat(F.lit("\n    "), F.col("o.key"), F.lit(" Tags: "),
+                        F.array_join("o.tags", ", "))).otherwise(F.lit("")),
+    )
+    file_line = F.concat(
+        F.lit("Compiled on: "), F.coalesce(F.col("o.compile_time"), F.lit("None")),
+        F.lit("\nFor architecture: "),
+        F.coalesce(F.col("o.architecture"), F.lit("None")),
+    )
+    note_line = (
+        F.when((F.col("pred") == "other") & other_is_note, other_line)
+        .when((F.col("pred") == "file")
+              & (F.col("o.compile_time").isNotNull()
+                 | F.col("o.architecture").isNotNull()), file_line)
+    )
+    lines = (
+        m.select("root_sha256", note_line.alias("line"))
+        .filter(F.col("line").isNotNull())
+        .groupBy("root_sha256")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
     )
 
     # root input files are not mention elements (output_file=False) but the
     # reference writes the sample's file SCO first
     # (report_writer.py:39-52); synthesize it from the file tree
-    roots = _root_files(records).select(
+    root_files = _root_files(records)
+    roots = root_files.select(
         "root_sha256", "e.stix_type", "e.stix_id", "e.stix_json")
-    return mapped.unionByName(roots).dropDuplicates(
-        ["root_sha256", "stix_id"])
+
+    # master note: "Description: ..." + sorted element lines, ref = the
+    # sample's own file SCO (report_writer.py:37,75-89)
+    empty = F.array().cast("array<string>")
+    master_content = F.array_join(
+        F.concat(
+            F.array(F.concat(F.lit("Description: "),
+                             F.coalesce(F.col("description"), F.lit("None")))),
+            F.coalesce(F.col("lines"), empty),
+        ),
+        "\n",
+    )
+    master_notes = (
+        root_files.join(lines, "root_sha256", "left")
+        .select(
+            "root_sha256",
+            master_content.alias("content"),
+            F.lit(None).cast("array<string>").alias("labels"),
+            F.col("e.stix_id").alias("ref"),
+        )
+    )
+
+    # consolidation (report_writer.py:107-132): the note id is uuid5 over
+    # the same content + " / ".join(labels) key the reference dedupes on,
+    # so equal-key notes collapse in this groupBy and refs union
+    all_notes = tag_notes.unionByName(master_notes)
+    grouped_notes = (
+        all_notes.groupBy("root_sha256", "content", "labels")
+        .agg(F.array_sort(F.collect_set("ref")).alias("object_refs"))
+    )
+    note_seed = F.concat(
+        F.lit("note--"), F.col("content"),
+        F.coalesce(F.array_join("labels", " / "), F.lit("")))
+    note_id = F.concat(F.lit("note--"),
+                       uuid5_expr(NAMESPACE_MWCP, note_seed))
+    content_field = F.to_json(F.struct(F.col("content").alias("content")))
+    note_json = F.concat(
+        F.lit('{"type":"note","spec_version":"2.1","id":"'), note_id,
+        F.lit('","created":"'), F.lit(FIXED_TIMESTAMP),
+        F.lit('","modified":"'), F.lit(FIXED_TIMESTAMP), F.lit('",'),
+        content_field.substr(F.lit(2), F.length(content_field) - 2),
+        F.when(F.size("labels") > 0,
+               F.concat(F.lit(',"labels":'), F.to_json("labels")))
+        .otherwise(F.lit("")),
+        F.lit(',"object_refs":'), F.to_json("object_refs"), F.lit("}"),
+    )
+    notes = grouped_notes.select(
+        "root_sha256",
+        F.lit("note").alias("stix_type"),
+        note_id.alias("stix_id"),
+        note_json.alias("stix_json"),
+    )
+
+    linked = mapped.unionByName(roots).dropDuplicates(
+        ["root_sha256", "stix_id"]).withColumn("linked", F.lit(True))
+    return linked.unionByName(notes.withColumn("linked", F.lit(False)))
 
 
 def _root_files(records: DataFrame) -> DataFrame:
@@ -207,12 +343,13 @@ def _root_files(records: DataFrame) -> DataFrame:
         files_of(records)
         .filter(F.col("depth") == 0)
         .groupBy(F.col("sha256").alias("root_sha256"), F.col("md5"))
-        .agg(F.min(F.struct("name", "parser")).alias("prov"))
+        .agg(F.min(F.struct("name", "parser", "description")).alias("prov"))
         .select(
             "root_sha256",
             _file_sco(F.col("prov.name"), F.col("md5"),
                       F.lit(None).cast("string"), F.col("root_sha256")).alias("e"),
             F.col("prov.parser").alias("parser"),
+            F.col("prov.description").alias("description"),
         )
     )
 
@@ -236,11 +373,16 @@ def stix_bundles_of(records: DataFrame,
         .agg(
             F.array_sort(F.collect_set("stix_id")).alias("ids"),
             F.array_sort(F.collect_list("stix_json")).alias("jsons"),
+            # analysis_sco_refs carries only linked SCOs — notes are bundle
+            # objects but never analysis refs (report_writer.py:63-72)
+            F.array_sort(F.collect_set(
+                F.when(F.col("linked"), F.col("stix_id")))).alias("linked_ids"),
         )
     )
     joined = grouped.join(root_file, "root_sha256", "left")
-    # linked refs: every SCO except the sample itself
-    refs = F.array_sort(F.array_remove(F.col("ids"), F.col("sample_ref")))
+    # linked refs: every linked SCO except the sample itself
+    refs = F.array_sort(
+        F.array_remove(F.col("linked_ids"), F.col("sample_ref")))
     analysis_id = F.concat(
         F.lit("malware-analysis--"),
         uuid5_expr(NAMESPACE_MWCP,

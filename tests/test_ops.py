@@ -84,3 +84,37 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"subj", "pred", "obj"}
+
+
+def test_dedup_cluster_checkpoint_parity(spark):
+    """Lineage truncation (localCheckpoint every N rounds) must not change
+    the fixpoint: interval-2 checkpointing == the default path."""
+    from kgmwcp.ops.dedup import q_dedup_cluster
+
+    base = sorted(tuple(r) for r in
+                  q_dedup_cluster(spark, SF_DIR).collect())
+    ckpt = sorted(tuple(r) for r in
+                  q_dedup_cluster(spark, SF_DIR, checkpoint_every=2).collect())
+    assert base == ckpt
+    assert len(base) > 0
+
+
+def test_ivf_quantizer_reuse(spark):
+    """train_ivf once -> two searches reuse the persisted centroid table:
+    same results as the fused form, and the second search's plan reads the
+    quantizer from cache (InMemoryTableScan) instead of re-training."""
+    from kgmwcp.ops import similarity as sim
+
+    emb = sim._emb(spark, SF_DIR)
+    cent = sim.train_ivf(emb)
+    try:
+        fused = sorted(tuple(r) for r in sim.q_ann_ivf(spark, SF_DIR).collect())
+        reused = sorted(tuple(r) for r in
+                        sim.ivf_search(emb, cent, 0).collect())
+        assert fused == reused
+        second = sim.ivf_search(emb, cent, 1)
+        assert second.count() > 0
+        plan = second._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, "second search re-trained the quantizer"
+    finally:
+        cent.unpersist()

@@ -282,15 +282,33 @@ def test_stix_bundles(tables, corpus):
     assert url["id"] == "url--" + str(_uuid.uuid5(stix.NAMESPACE_SCO, key))
     assert url["value"] == "http://127.0.0.1"
 
-    # the closing malware-analysis SDO references every other object
+    # the closing malware-analysis SDO references every linked SCO — notes
+    # are bundle objects but never analysis refs (report_writer.py:63-72)
     ma = next(o for o in objs if o["type"] == "malware-analysis")
     assert ma["product"] == "kgmwcp"
     assert ma["result_name"] == "Foo"
     assert ma["sample_ref"].startswith("file--")
     refs = ma["analysis_sco_refs"]
     assert refs == sorted(refs)
-    other_ids = {o["id"] for o in objs if o["type"] != "malware-analysis"}
+    other_ids = {o["id"] for o in objs
+                 if o["type"] not in ("malware-analysis", "note")}
     assert set(refs) == other_ids - {ma["sample_ref"]}
+
+    # string-valued Other -> observed-string extension SCO
+    # (metadata.py:2026-2035, stix/extensions.py:36-74)
+    obs = next(o for o in objs if o["type"] == "observed-string")
+    assert obs["value"] == "hello!"
+    assert obs["purpose"] == "secret-using-external-knowledge"
+    assert "extension-definition--8b1aa84c-5532-4c69-a8e7-b6170facfd3d" in (
+        obs["extensions"])
+    assert obs["id"] in refs
+
+    # master note: "Description: ..." refs the sample's own file SCO
+    # (report_writer.py:37,75-89)
+    master = next(o for o in objs if o["type"] == "note")
+    assert master["content"] == "Description: Foo"
+    assert master["object_refs"] == [ma["sample_ref"]]
+    assert "labels" not in master
 
     # x509: the reference's own uuid5 namespace and exponent//modulus seed
     cert_sha = hashlib.sha256((fixtures.cert_pem() + "# 0\n").encode()).hexdigest()
@@ -304,6 +322,54 @@ def test_stix_bundles(tables, corpus):
     # every bundle parses as JSON
     for row in bundles.values():
         json.loads(row["bundle_json"])
+
+
+def test_stix_notes(tables):
+    """Note pipeline (report_writer.py:37-89,107-132): File
+    compile-time/architecture lines land in the master note, tagged
+    elements get per-SCO 'MWCP Tags:' notes, and identical content+labels
+    notes consolidate with object_refs unioned."""
+    from pyspark.sql import functions as F
+
+    from kgmwcp.stages import stix
+
+    bundles = {r["root_sha256"]: r for r in tables["stix"].collect()}
+
+    # dropper: inner PE carries architecture/compile_time -> master-note line
+    drop_sha = hashlib.sha256(fixtures.dropper_overlay_payload(0)).hexdigest()
+    objs = json.loads(bundles[drop_sha]["bundle_json"])["objects"]
+    master = next(o for o in objs if o["type"] == "note")
+    assert master["content"] == (
+        "Description: Dropper (Overlay)\n"
+        "Compiled on: 2020-01-01T00:00:00+00:00\nFor architecture: x86")
+
+    # mcafee: original_location-tagged path -> 'MWCP Tags:' note on the SCO
+    inner = (fixtures.PDF_TEXT + "\n# variant 0\n" + "% filler\n" * 600).encode()
+    bup = fixtures.mcafee_bup_payload(inner, "C:\\Users\\victim0\\evil.pdf")
+    bup_sha = hashlib.sha256(bup).hexdigest()
+    objs = json.loads(bundles[bup_sha]["bundle_json"])["objects"]
+    tag_note = next(o for o in objs if o["type"] == "note"
+                    and o.get("labels") == ["original_location"])
+    assert tag_note["content"] == "MWCP Tags: original_location"
+    (ref,) = tag_note["object_refs"]
+    target = next(o for o in objs if o["id"] == ref)
+    assert target == {"type": "file", "id": ref, "name": "evil.pdf"}
+    ma = next(o for o in objs if o["type"] == "malware-analysis")
+    assert tag_note["id"] not in ma["analysis_sco_refs"]
+
+    # consolidation: a second element with the same tags in the same root
+    # merges into ONE note whose refs union both SCOs
+    recs = tables["records"].filter(F.col("root_sha256") == bup_sha)
+    dup = (
+        recs.filter((F.col("kind") == "mention") & (F.col("pred") == "path"))
+        .withColumn("obj", F.regexp_replace("obj", r"evil\.pdf", "evil2.pdf"))
+    )
+    consolidated = stix.stix_objects_of(recs.unionByName(dup))
+    notes = [json.loads(r["stix_json"]) for r in consolidated
+             .filter(F.col("stix_type") == "note").collect()]
+    tagged = [n for n in notes if n.get("labels") == ["original_location"]]
+    assert len(tagged) == 1, tagged
+    assert len(tagged[0]["object_refs"]) == 2
 
 
 def test_report_external_knowledge_and_recursive(tables):
