@@ -1,0 +1,105 @@
+"""Pure-python BMP/WAV builders and header parsers (public formats).
+
+The multimodal decode path (`ops/multimodal.py::decode_real`) needs a
+codec with zero external dependencies; BMP (BITMAPINFOHEADER) and WAV
+(RIFF/WAVE PCM) are fully specified public formats whose metadata lives
+in fixed-layout headers.  Builders synthesize real, spec-conformant
+files (used as deterministic fixtures); parsers read ONLY the bytes —
+they share no state with the builders, so round-trip tests prove a
+genuine decode, not an echo.
+
+Reference parity note: the reference treats residual media files as
+opaque payloads (no codec layer); this module is part of the
+LLM-data-pipeline surface the rebuild adds on top (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+__all__ = ["make_bmp", "make_wav", "parse_bmp", "parse_wav"]
+
+_BMP_HEADER_SIZE = 54          # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+_WAV_HEADER_SIZE = 44          # RIFF + fmt(16) + data chunk header
+
+
+def _bmp_row_stride(width: int, channels: int) -> int:
+    # BMP pixel rows pad to 4-byte boundaries
+    return (width * channels + 3) // 4 * 4
+
+
+def make_bmp(width: int, height: int, channels: int, seed: int = 0) -> bytes:
+    """Spec-conformant uncompressed BMP (24- or 32-bit, BI_RGB)."""
+    if channels not in (3, 4):
+        raise ValueError("only 24/32-bit BMPs (no palette) are synthesized")
+    stride = _bmp_row_stride(width, channels)
+    pixel_bytes = stride * height
+    file_size = _BMP_HEADER_SIZE + pixel_bytes
+    header = struct.pack(
+        "<2sIHHI", b"BM", file_size, 0, 0, _BMP_HEADER_SIZE
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, channels * 8, 0, pixel_bytes, 2835, 2835, 0, 0,
+    )
+    pixels = bytes((seed + i) % 256 for i in range(pixel_bytes))
+    return header + pixels
+
+
+def make_wav(n_channels: int, sample_rate: int, n_samples: int,
+             seed: int = 0) -> bytes:
+    """Spec-conformant 16-bit PCM RIFF/WAVE file."""
+    data_size = n_samples * n_channels * 2
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    header = (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_size, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_channels,
+                      sample_rate, byte_rate, block_align, 16)
+        + struct.pack("<4sI", b"data", data_size)
+    )
+    data = bytes((seed + i) % 256 for i in range(data_size))
+    return header + data
+
+
+def parse_bmp(payload: bytes) -> Optional[dict]:
+    """(width, height, channels, n_bytes) from BITMAPINFOHEADER fields —
+    reads only the 54-byte header; negative height (top-down rows) is
+    reported as its magnitude per the spec."""
+    if len(payload) < _BMP_HEADER_SIZE or payload[:2] != b"BM":
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    return {
+        "width": width,
+        "height": abs(height),
+        "channels": bpp // 8,
+        "n_bytes": len(payload),
+    }
+
+
+def parse_wav(payload: bytes) -> Optional[dict]:
+    """(channels, sample_rate, duration_ms, n_bytes) via a RIFF chunk
+    walk to the fmt / data chunks (chunk order is not fixed by the spec)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    channels = sample_rate = bits = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            _fmt, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)   # chunks pad to even offsets
+    if channels is None or sample_rate is None or data_size is None:
+        return None
+    n_samples = data_size // (channels * (bits // 8))
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "duration_ms": n_samples * 1000 // sample_rate,
+        "n_bytes": len(payload),
+    }

@@ -33,15 +33,36 @@ _META_SCHEMA = StructType([
 _MEDIA_TYPES = ["image", "audio", "video"]
 
 
-def decode_real(payload: bytes, media_type: str):
-    """Real decoder hook — deliberately unimplemented in this container.
-
-    A production deployment swaps this in (PIL / soundfile / pyav) while
-    keeping the identical mapInPandas plumbing below.
+def decode_real(payload: bytes) -> dict:
+    """Real decode for the formats whose parsers need no external codec:
+    BMP and 16-bit PCM WAV header parses (engine/media.py, pure python,
+    public formats).  Sniffs the magic — the media_type hint is NOT
+    trusted.  Anything else (JPEG/PNG/MP4/...) still raises: those
+    codecs aren't in this container; a production deployment extends the
+    sniff chain (PIL / soundfile / pyav) on the same plumbing.
     """
+    from kgmwcp.engine import media
+
+    bmp = media.parse_bmp(payload)
+    if bmp is not None:
+        return {
+            "media_type": "image/bmp", "n_bytes": bmp["n_bytes"],
+            "width": bmp["width"], "height": bmp["height"],
+            "channels": bmp["channels"],
+            "sample_rate": None, "duration_ms": None,
+        }
+    wav = media.parse_wav(payload)
+    if wav is not None:
+        return {
+            "media_type": "audio/wav", "n_bytes": wav["n_bytes"],
+            "width": None, "height": None,
+            "channels": wav["channels"],
+            "sample_rate": wav["sample_rate"],
+            "duration_ms": wav["duration_ms"],
+        }
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "fake_decode_batch provides the deterministic stand-in"
+        "no pure-python parser for this payload; only BMP/WAV decode "
+        "is available in this environment"
     )
 
 
@@ -129,12 +150,87 @@ FROM (
 """
 
 
+# -- real decode path --------------------------------------------------------------
+# Deterministic spec-conformant BMP/WAV files are synthesized per doc_id
+# (engine/media.py builders), then decode_real parses ONLY the bytes —
+# the mapper never hands the synthesis parameters to the decoder, so the
+# oracle (the same parameters recomputed declaratively) verifies a
+# genuine header parse round-trip, not an echo.
+
+_REAL_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+_REAL_COLS = [f.name for f in _REAL_META_SCHEMA.fields]
+
+
+def _synth_payload(doc_id: int) -> bytes:
+    from kgmwcp.engine import media
+
+    if doc_id % 2 == 0:
+        return media.make_bmp(doc_id % 32 + 1, doc_id % 24 + 1,
+                              3 + (doc_id // 2) % 2, seed=doc_id)
+    return media.make_wav((doc_id // 2) % 2 + 1,
+                          8000 + (doc_id % 5) * 4000,
+                          doc_id % 400 + 1, seed=doc_id)
+
+
+def q_multimodal_real_meta(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def mapper(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append({"doc_id": d, **decode_real(_synth_payload(d))})
+            out = pd.DataFrame(rows, columns=_REAL_COLS)
+            for col in ("width", "height", "channels", "sample_rate"):
+                out[col] = out[col].astype("Int32")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
+
+    return docs.mapInPandas(mapper, schema=_REAL_META_SCHEMA)
+
+
+# the oracle recomputes the synthesis parameters declaratively; matching
+# the Spark side proves decode_real recovered them from the bytes alone
+SQL_MULTIMODAL_REAL_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS media_type,
+       CASE WHEN doc_id % 2 = 0
+            THEN 54 + (doc_id % 24 + 1)
+                 * (((doc_id % 32 + 1) * (3 + (doc_id // 2) % 2) + 3) // 4 * 4)
+            ELSE 44 + (doc_id % 400 + 1) * ((doc_id // 2) % 2 + 1) * 2
+       END AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN (doc_id % 32 + 1)::INT END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN (doc_id % 24 + 1)::INT END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN (3 + (doc_id // 2) % 2)::INT
+            ELSE ((doc_id // 2) % 2 + 1)::INT END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN (8000 + (doc_id % 5) * 4000)::INT
+       END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1
+            THEN (doc_id % 400 + 1) * 1000 // (8000 + (doc_id % 5) * 4000)
+       END AS duration_ms
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_real_meta": q_multimodal_real_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_real_meta": SQL_MULTIMODAL_REAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
 }

@@ -846,3 +846,61 @@ class TestElfSegments:
         e = parse_elf(fixtures.elf_payload(0))
         assert e.segments() == []
         assert e.offset_to_vaddr(70) is None
+
+
+class TestMediaCodecs:
+    """engine/media.py: builders emit spec-conformant files and parsers
+    recover metadata from bytes alone (the multimodal decode path)."""
+
+    def test_bmp_roundtrip(self):
+        from kgmwcp.engine import media
+
+        for w, h, c in [(1, 1, 3), (31, 17, 3), (32, 24, 4)]:
+            payload = media.make_bmp(w, h, c, seed=7)
+            meta = media.parse_bmp(payload)
+            assert meta == {"width": w, "height": h, "channels": c,
+                            "n_bytes": len(payload)}
+            # declared file size matches reality (offset 2, LE u32)
+            import struct
+            assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+
+    def test_bmp_topdown_negative_height(self):
+        import struct
+
+        from kgmwcp.engine import media
+
+        payload = bytearray(media.make_bmp(8, 4, 3))
+        struct.pack_into("<i", payload, 22, -4)  # top-down row order
+        assert media.parse_bmp(bytes(payload))["height"] == 4
+
+    def test_wav_roundtrip_and_chunk_order(self):
+        import struct
+
+        from kgmwcp.engine import media
+
+        payload = media.make_wav(2, 16000, 123, seed=3)
+        meta = media.parse_wav(payload)
+        assert meta == {"channels": 2, "sample_rate": 16000,
+                        "duration_ms": 123 * 1000 // 16000,
+                        "n_bytes": len(payload)}
+        # chunk walk survives an extra LIST chunk before fmt/data
+        # (odd-sized -> exercises even-offset padding)
+        extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+        reordered = payload[:12] + extra + payload[12:]
+        meta2 = media.parse_wav(reordered)
+        assert meta2["channels"] == 2 and meta2["sample_rate"] == 16000
+
+    def test_decode_real_sniffs_and_rejects(self):
+        import pytest as _pytest
+
+        from kgmwcp.engine import media
+        from kgmwcp.ops.multimodal import decode_real
+
+        bmp = decode_real(media.make_bmp(5, 6, 4))
+        assert (bmp["media_type"], bmp["width"], bmp["height"],
+                bmp["channels"]) == ("image/bmp", 5, 6, 4)
+        wav = decode_real(media.make_wav(1, 8000, 40))
+        assert (wav["media_type"], wav["sample_rate"],
+                wav["duration_ms"]) == ("audio/wav", 8000, 5)
+        with _pytest.raises(NotImplementedError):
+            decode_real(b"\x89PNG\r\n\x1a\n not a codec we ship")
