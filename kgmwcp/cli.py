@@ -60,10 +60,25 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                         help="drain --input as a drop-folder via Structured Streaming")
     parser.add_argument("--stix", action="store_true",
                         help="also write STIX 2.1 bundles (one per root sample)")
+    parser.add_argument("--format", dest="render_format", default=None,
+                        choices=["text", "md"],
+                        help="also render per-root reports as text/markdown "
+                             "files under <output>/reports_<format>/")
+    parser.add_argument("--schema", action="store_true",
+                        help="print the JSON Schema of report_json documents "
+                             "and exit (handled before --input is required)")
     return parser.parse_args(argv)
 
 
 def main(argv: Optional[list] = None, spark=None) -> dict:
+    import sys as _sys0
+
+    argv_list = argv if argv is not None else _sys0.argv[1:]
+    if "--schema" in argv_list:
+        from kgmwcp.schema import report_json_schema
+
+        print(json.dumps(report_json_schema(), indent=4))
+        return {}
     args = _parse_args(argv)
     from kgmwcp.pipeline import Pipeline, PipelineConfig
     from kgmwcp.session import get_spark
@@ -123,6 +138,14 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
             summary[name] = spark.read.parquet(f"{args.output}/{name}").count()
         metrics = Pipeline.metrics(tables["records"])
         metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+        if args.render_format:
+            from kgmwcp.render import render_reports_df
+
+            summary[f"reports_{args.render_format}"] = render_reports_df(
+                spark.read.parquet(f"{args.output}/reports"),
+                f"{args.output}/reports_{args.render_format}",
+                args.render_format,
+            )
         print(json.dumps({"output": args.output, "counts": summary}))
         return summary
     finally:

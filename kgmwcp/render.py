@@ -1,0 +1,298 @@
+"""Driver-side text / markdown report rendering (SURVEY.md S12).
+
+Renders a collected report document (the ``report_json`` the pipeline
+writes) the way the reference CLI's default writers do
+(mwcp/report_writers.py:92-385): an input-file pivot table, one table
+per metadata type in class-name order, ``Other`` as a trailing
+Miscellaneous table, residual ``File`` entries with customized columns,
+then Errors/Logs code blocks.  Formats: ``text`` (the reference's
+"simple" tabulate style) and ``md`` (pipe tables, newlines as <br>).
+
+This is presentation, not a distributed stage — it runs on the driver
+over collected rows, so there is no tabulate dependency (the container
+doesn't ship it); the two table styles are formatted here.
+
+Documented deviations from the reference writer:
+* element-table columns are sorted key order with ``tags`` first (the
+  canonical obj JSON is sorted; the reference keeps attrs declaration
+  order);
+* table rows keep the report's canonical entry order (the reference
+  keeps parser emission order, which the distributed collect_set
+  canonicalized away).
+"""
+
+from __future__ import annotations
+
+import json
+import textwrap
+from typing import Dict, List, Optional, Tuple
+
+__all__ = ["render_report", "render_reports_df", "FORMATS"]
+
+FORMATS = ("text", "md")
+
+_MAX_COL_WIDTH = 100
+_MAX_COL_INT_WIDTH = 50
+
+# pred -> reference metadata class name (mwcp/metadata.py element classes;
+# the writer titles and ORDERS tables by __name__, report_writers.py:244)
+_CLASS_NAME = {
+    "alphabet": "Alphabet", "command": "Command", "credential": "Credential",
+    "crypto_address": "CryptoAddress", "decoded_string": "DecodedString",
+    "email_address": "EmailAddress", "encryption_key": "EncryptionKey",
+    "event": "Event", "file": "File", "injection_process": "InjectionProcess",
+    "interval": "Interval", "interval_legacy": "IntervalLegacy",
+    "mission_id": "MissionID", "mutex": "Mutex", "network": "Network",
+    "other": "Other", "path": "Path2", "pipe": "Pipe",
+    "registry": "Registry2", "rsa_private_key": "RSAPrivateKey",
+    "rsa_public_key": "RSAPublicKey", "scheduled_task": "ScheduledTask",
+    "service": "Service", "socket": "Socket", "ssl_cert_sha1": "SSLCertSHA1",
+    "url": "URL", "user_agent": "UserAgent", "uuid": "UUID",
+    "uuid_legacy": "UUIDLegacy", "version": "Version",
+}
+
+
+def _camel_case_to_title(name: str) -> str:
+    """mwcp/report_writers.py:14-26 — CamelCase -> spaced title, with the
+    '2' transition suffix stripped."""
+    import re
+
+    name = name.rstrip("2")
+    return re.sub(
+        r"([a-z])([A-Z])", r"\g<1> \g<2>",
+        re.sub(r"([A-Z][a-z])", r" \g<1>", name).strip(),
+    )
+
+
+def _flatten(payload: dict, prefix: str = "") -> Tuple[Dict[str, object], List[str]]:
+    """Flat (dotted-key -> scalar) view of an element payload plus the
+    merged tags of the element and any nested child elements — the shape
+    of the reference's ``as_formatted_dict(flat=True)``."""
+    flat: Dict[str, object] = {}
+    tags: List[str] = []
+    for key, value in payload.items():
+        if key == "type":
+            continue
+        if key == "tags":
+            tags.extend(value or [])
+            continue
+        dotted = f"{prefix}{key}"
+        if isinstance(value, dict):
+            child_flat, child_tags = _flatten(value, prefix=f"{dotted}.")
+            flat.update(child_flat)
+            tags.extend(child_tags)
+        else:
+            flat[dotted] = value
+    return flat, tags
+
+
+def _title_key(key: str) -> str:
+    return key.replace("_", " ").replace(".", " / ").title()
+
+
+def _format_cell(value, fmt: str) -> str:
+    """report_writers.py:104-138 — lists join, long values wrap."""
+    if value is None:
+        return ""
+    if isinstance(value, list):
+        value = ", ".join(str(v) for v in value)
+    max_width = _MAX_COL_INT_WIDTH if isinstance(value, int) and not isinstance(
+        value, bool) else _MAX_COL_WIDTH
+    text = str(value)
+    col_width = max((len(line) for line in text.splitlines()), default=0)
+    if col_width > max_width:
+        text = textwrap.fill(
+            text, width=max_width,
+            subsequent_indent="  " if fmt == "text" else "",
+            tabsize=4, replace_whitespace=False,
+        )
+    if fmt == "md":
+        text = text.replace("\n", "<br>")
+    return text
+
+
+def _table(rows: List[List[str]], headers: List[str], fmt: str) -> str:
+    """Minimal 'simple' / 'pipe' tabulate-style formatter.  Cells may be
+    multi-line in text mode (wrapped values); each logical row expands to
+    the needed physical lines."""
+    cells = [[cell.splitlines() or [""] for cell in row] for row in rows]
+    widths = [len(h) for h in headers]
+    for row in cells:
+        for i, lines in enumerate(row):
+            widths[i] = max(widths[i], *(len(ln) for ln in lines))
+
+    def pad(line_parts: List[str], sep: str) -> str:
+        return sep.join(
+            part.ljust(widths[i]) for i, part in enumerate(line_parts)
+        ).rstrip()
+
+    out: List[str] = []
+    if fmt == "md":
+        out.append("| " + " | ".join(
+            h.ljust(widths[i]) for i, h in enumerate(headers)) + " |")
+        out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
+        for row in cells:
+            out.append("| " + " | ".join(
+                lines[0].ljust(widths[i]) for i, lines in enumerate(row)) + " |")
+    else:
+        out.append(pad(headers, "  "))
+        out.append("  ".join("-" * w for w in widths))
+        for row in cells:
+            height = max(len(lines) for lines in row)
+            for ln in range(height):
+                out.append(pad(
+                    [lines[ln] if ln < len(lines) else "" for lines in row],
+                    "  "))
+    return "\n".join(out) + "\n\n"
+
+
+def _h1(text: str, fmt: str) -> str:
+    return f"# {text}\n" if fmt == "md" else f"----- {text} -----\n"
+
+
+def _h2(text: str, fmt: str) -> str:
+    return f"## {text}\n" if fmt == "md" else f"---- {text} ----\n"
+
+
+def _code_block(text: str, fmt: str) -> str:
+    if not text.endswith("\n"):
+        text += "\n"
+    return f"```\n{text}```\n\n" if fmt == "md" else text + "\n"
+
+
+def _element_table(elements: List[dict], fmt: str) -> str:
+    """report_writers.py:166-199 — one table per type; tags first,
+    empty values stripped, keys titled."""
+    flats = []
+    includes_tags = False
+    all_keys: List[str] = []
+    for payload in elements:
+        flat, tags = _flatten(payload)
+        tags = sorted(set(tags))
+        if tags:
+            includes_tags = True
+        entry = {"tags": tags}
+        for key in sorted(flat):
+            value = flat[key]
+            if value or value == 0:
+                entry[key] = value
+                if key not in all_keys:
+                    all_keys.append(key)
+        flats.append(entry)
+    columns = (["tags"] if includes_tags else []) + all_keys
+    headers = [_title_key(k) for k in columns]
+    rows = [
+        [_format_cell(entry.get(k), fmt) for k in columns]
+        for entry in flats
+    ]
+    return _table(rows, headers, fmt)
+
+
+def render_report(report: dict, fmt: str = "text") -> str:
+    """One collected report document -> rendered text/markdown."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format: {fmt} (known: {FORMATS})")
+    out: List[str] = []
+    input_file = report.get("input_file") or {}
+
+    out.append(_h1(f"File: {input_file.get('name')}", fmt))
+    pivot = [
+        ["Parser", report.get("parser")],
+        ["File Path", input_file.get("file_path")],
+        ["Description", input_file.get("description")],
+        ["Architecture", input_file.get("architecture")],
+        ["MD5", input_file.get("md5")],
+        ["SHA1", input_file.get("sha1")],
+        ["SHA256", input_file.get("sha256")],
+        ["Compile Time", input_file.get("compile_time")],
+    ]
+    # provenance extension of this pipeline's report model
+    if input_file.get("repo") is not None:
+        pivot.append(["Repo", input_file.get("repo")])
+    if input_file.get("commit") is not None:
+        pivot.append(["Commit", input_file.get("commit")])
+    if input_file.get("derivation"):
+        pivot.append(["Derivation", input_file.get("derivation")])
+    if input_file.get("tags"):
+        pivot.append(["Tags", ", ".join(input_file["tags"])])
+    out.append(_table(
+        [[f, _format_cell(v, fmt)] for f, v in pivot],
+        ["Field", "Value"], fmt))
+
+    ek = report.get("external_knowledge") or {}
+    if ek:
+        out.append(_h2("External Knowledge", fmt))
+        out.append(_table(
+            sorted([k, _format_cell(v, fmt)] for k, v in ek.items()),
+            ["Field", "Value"], fmt))
+
+    by_class: Dict[str, List[dict]] = {}
+    for element in report.get("metadata", []):
+        cls = _CLASS_NAME.get(element.get("type"), element.get("type", ""))
+        by_class.setdefault(cls, []).append(element)
+
+    for cls in sorted(by_class):
+        if cls in ("Other", "File"):
+            continue
+        table_name = _camel_case_to_title(cls)
+        if table_name.endswith(" Legacy"):
+            table_name = table_name[: -len(" Legacy")]
+        out.append(_h2(table_name, fmt))
+        out.append(_element_table(by_class[cls], fmt))
+
+    misc = by_class.get("Other", [])
+    if misc:
+        out.append(_h2("Miscellaneous", fmt))
+        # flatten key/value: the Other's key becomes the column
+        # (report_writers.py:73-76)
+        flattened = [
+            {"type": "other", "tags": o.get("tags", []),
+             o.get("key", "key"): o.get("value")}
+            for o in misc
+        ]
+        out.append(_element_table(flattened, fmt))
+
+    residual = by_class.get("File", [])
+    if residual:
+        out.append(_h2("Residual Files", fmt))
+        include_tags = any(f.get("tags") for f in residual)
+        headers = ["Filename", "Description", "Derivation", "MD5", "Arch",
+                   "Compile Time"]
+        rows = []
+        for f in residual:
+            row = [f.get("name"), f.get("description"), f.get("derivation"),
+                   f.get("md5"), f.get("architecture"), f.get("compile_time")]
+            if include_tags:
+                row = [", ".join(f.get("tags", []))] + row
+            rows.append([_format_cell(v, fmt) for v in row])
+        if include_tags:
+            headers = ["Tags"] + headers
+        out.append(_table(rows, headers, fmt))
+
+    if report.get("errors"):
+        out.append(_h2("Errors", fmt))
+        out.append(_code_block("\n".join(report["errors"]), fmt))
+    if report.get("logs"):
+        out.append(_h2("Logs", fmt))
+        out.append(_code_block("\n".join(report["logs"]), fmt))
+    return "".join(out)
+
+
+def render_reports_df(reports, out_dir: str, fmt: str = "text",
+                      limit: Optional[int] = None) -> int:
+    """Render every report in a (root_sha256, ..., report_json) DataFrame
+    to ``{out_dir}/{root_sha256}.{txt|md}``.  Streams partitions through
+    the driver (toLocalIterator) — presentation output, not a Spark sink."""
+    import pathlib
+
+    ext = "md" if fmt == "md" else "txt"
+    path = pathlib.Path(out_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for row in reports.select("root_sha256", "report_json").toLocalIterator():
+        (path / f"{row['root_sha256']}.{ext}").write_text(
+            render_report(json.loads(row["report_json"]), fmt))
+        n += 1
+        if limit is not None and n >= limit:
+            break
+    return n

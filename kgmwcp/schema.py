@@ -87,3 +87,126 @@ MANIFEST_SCHEMA = StructType([
     StructField("n_roots", LongType()),
     StructField("status", StringType()),
 ])
+
+
+# ---------------------------------------------------------------------------
+# JSON Schema export of the report document (reference mwcp/core.py:87-110
+# exports metadata.Report.schema(); the CLI surfaces it as `mwcp schema`,
+# cli.py:927-934).  Here the element field sets come straight from the
+# canonical element model, so the schema can never drift from the emitters.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_ID = "https://example.invalid/kgmwcp/report-schema.json"
+
+# (pred, field) -> JSON types; default is ["string", "null"]
+_FIELD_TYPES = {
+    ("socket", "port"): ["integer", "null"],
+    ("socket", "listen"): ["boolean", "null"],
+    ("path", "is_dir"): ["boolean", "null"],
+    ("path", "posix"): ["boolean", "null"],
+    ("other", "value"): ["string", "integer", "boolean", "null"],
+    ("alphabet", "base"): ["integer", "null"],
+    ("interval", "value"): ["number", "null"],
+    ("scheduled_task", "actions"): ["array", "null"],
+    ("registry", "data"): ["string", "integer", "null"],
+}
+_INT_ELEMENTS = {"rsa_public_key", "rsa_private_key"}
+# nested sub-element fields -> their element defs
+_NESTED_REFS = {
+    ("network", "url"): "url",
+    ("network", "socket"): "socket",
+    ("network", "credential"): "credential",
+}
+
+
+def _element_def(pred: str, fields: tuple) -> dict:
+    props = {
+        "type": {"const": pred},
+        "tags": {"type": "array", "items": {"type": "string"}},
+    }
+    for field in fields:
+        if (pred, field) in _NESTED_REFS:
+            props[field] = {"anyOf": [
+                {"$ref": f"#/$defs/{_NESTED_REFS[(pred, field)]}"},
+                {"type": "null"},
+            ]}
+        elif pred in _INT_ELEMENTS:
+            props[field] = {"type": ["integer", "null"]}
+        else:
+            props[field] = {"type": _FIELD_TYPES.get(
+                (pred, field), ["string", "null"])}
+    if pred == "other":
+        props["value_format"] = {
+            "enum": ["string", "integer", "boolean", "bytes", None]}
+    return {
+        "type": "object",
+        "properties": props,
+        "required": ["type", "tags"],
+        "additionalProperties": False,
+    }
+
+
+def report_json_schema(schema_id: str = _SCHEMA_ID) -> dict:
+    """JSON Schema (draft 2019-09) for one ``report_json`` document."""
+    from kgmwcp.canonical import ELEMENT_CLASSES
+
+    defs = {
+        pred: _element_def(pred, cls.FIELDS)
+        for pred, cls in sorted(ELEMENT_CLASSES.items())
+    }
+    input_file_props = {
+        "type": {"const": "file"},
+        **{f: {"type": ["string", "null"]}
+           for f in ("name", "description", "md5", "sha256", "repo",
+                     "file_path", "commit")},
+    }
+    return {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": schema_id,
+        "type": "object",
+        "properties": {
+            "type": {"const": "report"},
+            "input_file": {
+                "type": "object",
+                "properties": input_file_props,
+                "required": ["type", "name", "md5", "sha256"],
+                "additionalProperties": False,
+            },
+            "parser": {"type": ["string", "null"]},
+            "recursive": {"type": "boolean"},
+            "external_knowledge": {"type": "object"},
+            "errors": {"type": "array", "items": {"type": "string"}},
+            "logs": {"type": "array", "items": {"type": "string"}},
+            "metadata": {
+                "type": "array",
+                "items": {"anyOf": [
+                    {"$ref": f"#/$defs/{pred}"} for pred in sorted(defs)
+                ]},
+            },
+        },
+        "required": ["type", "input_file", "parser", "recursive",
+                     "external_knowledge", "errors", "logs", "metadata"],
+        "additionalProperties": False,
+        "$defs": defs,
+    }
+
+
+def triples_obj_schema(schema_id: str = _SCHEMA_ID) -> dict:
+    """JSON Schema for a triples-table ``obj`` payload (no injected type
+    discriminator — keyed externally by ``pred``)."""
+    from kgmwcp.canonical import ELEMENT_CLASSES
+
+    defs = {}
+    for pred, cls in sorted(ELEMENT_CLASSES.items()):
+        d = _element_def(pred, cls.FIELDS)
+        # top-level objs carry no discriminator (pred keys them externally)
+        # but NESTED sub-elements do (payload(nested=True)) — keep ``type``
+        # allowed, just not required
+        d["required"] = ["tags"]
+        defs[pred] = d
+    return {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": schema_id,
+        "anyOf": [{"$ref": f"#/$defs/{pred}"} for pred in sorted(defs)],
+        "$defs": defs,
+    }

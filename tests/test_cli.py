@@ -53,3 +53,141 @@ def test_cli_missing_input_exit_code(spark, capsys):
     with _pytest.raises(SystemExit) as exc:
         main(["--input", "/nonexistent/path", "--output", "/tmp/x"], spark=spark)
     assert exc.value.code == 1
+
+
+FOO_TEXT_RENDER = """\
+----- File: anything.txt -----
+Field         Value
+------------  ----------------------------------------------------------------
+Parser        Foo
+File Path     f0/anything.txt
+Description   Foo
+Architecture
+MD5           736b19dc395cbae813df608f53d485f3
+SHA1
+SHA256        75bd9a77c715d35e7f7f9e051fbe8d460a38c08808299241546676ca470432f5
+Compile Time
+Repo          repo-000
+Commit        74d8b345d671b9fb4bd9cbd9f6952d94dc4c6a91
+
+---- External Knowledge ----
+Field   Value
+------  -----
+secret  hello
+
+---- Network ----
+Socket / Address  Url / Protocol  Url / Url
+----------------  --------------  ----------------
+127.0.0.1         http            http://127.0.0.1
+
+---- Socket ----
+Address
+---------
+127.0.0.1
+
+---- URL ----
+Protocol  Url
+--------  ----------------
+http      http://127.0.0.1
+
+---- Miscellaneous ----
+Secret Using External Knowledge
+-------------------------------
+hello!
+
+---- Residual Files ----
+Filename           Description          Derivation                  MD5                               Arch  Compile Time
+-----------------  -------------------  --------------------------  --------------------------------  ----  ------------
+fooconfigtest.txt  example output file  extracted and decompressed  5eb63bbbe01eeed093cb22bb8f5acdc3
+
+---- Logs ----
+[I] operating on inputfile anything.txt
+[I] size of inputfile is 49 bytes
+
+"""
+
+
+def test_render_text_golden(spark):
+    """Golden-text render (reference report_writers.py SimpleTextWriter
+    layout): input-file pivot, per-type tables in class order,
+    Miscellaneous, Residual Files columns, Logs block."""
+    import hashlib
+
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+    from kgmwcp.render import render_report
+
+    tabs = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"})).run(
+        fixtures.corpus_df(spark, replication=1, hot_rows=2))
+    foo_sha = hashlib.sha256(
+        (fixtures.FOO_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    row = tabs["reports"].filter(f"root_sha256 = '{foo_sha}'").collect()[0]
+    report = json.loads(row["report_json"])
+
+    assert render_report(report, "text") == FOO_TEXT_RENDER
+
+    md = render_report(report, "md")
+    assert "# File: anything.txt\n" in md
+    assert "## Residual Files\n" in md
+    assert "| fooconfigtest.txt | example output file |" in md
+    assert "```\n[I] operating on inputfile anything.txt" in md
+
+
+def test_cli_render_format(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "kg")
+    fixtures.corpus_df(spark, replication=1, hot_rows=2).write.parquet(src)
+    summary = main([
+        "--input", src, "--output", out, "--buckets", "8",
+        "--knowledge-base", json.dumps({"secret": "hello"}),
+        "--format", "md",
+    ], spark=spark)
+    import pathlib
+
+    files = sorted(pathlib.Path(out, "reports_md").glob("*.md"))
+    assert len(files) == summary["reports"] == summary["reports_md"]
+    assert files[0].read_text().startswith("# File: ")
+
+
+def test_report_json_schema_validates(spark):
+    """JSON-Schema export (reference mwcp/core.py:87-110 + `mwcp schema`):
+    every fixture report and every triples obj validates; a corrupted
+    document fails."""
+    import jsonschema
+
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+    from kgmwcp.schema import report_json_schema, triples_obj_schema
+
+    tabs = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"})).run(
+        fixtures.corpus_df(spark, replication=1, hot_rows=2))
+
+    schema = report_json_schema()
+    jsonschema.Draft201909Validator.check_schema(schema)
+    validator = jsonschema.Draft201909Validator(schema)
+    reports = [json.loads(r["report_json"])
+               for r in tabs["reports"].collect()]
+    assert len(reports) > 0
+    for report in reports:
+        validator.validate(report)
+
+    obj_schema = triples_obj_schema()
+    jsonschema.Draft201909Validator.check_schema(obj_schema)
+    obj_validator = jsonschema.Draft201909Validator(obj_schema)
+    for row in tabs["triples"].collect():
+        obj_validator.validate(json.loads(row["obj"]))
+
+    import pytest as _pytest
+
+    bad = dict(reports[0], metadata=[{"type": "url", "tags": [],
+                                      "bogus_field": 1}])
+    with _pytest.raises(jsonschema.ValidationError):
+        validator.validate(bad)
+
+
+def test_cli_schema_flag(capsys):
+    summary = main(["--schema"])
+    assert summary == {}
+    printed = json.loads(capsys.readouterr().out)
+    assert printed["properties"]["type"]["const"] == "report"
+    assert "url" in printed["$defs"]
