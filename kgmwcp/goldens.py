@@ -413,7 +413,7 @@ def canonical_value(pred: str, obj: str) -> Optional[str]:
         value = obj
     if value is None:
         return None
-    value = re.sub(r"\[\.\]", ".", value)
+    value = re.sub(r"[\[({]([.:@])[\])}]", r"\1", value)
     value = re.sub(r"(?i)^hxxp", "http", value)
     return value.lower()
 

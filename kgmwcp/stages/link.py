@@ -39,9 +39,13 @@ def canonical_value_expr(pred_col, obj_col):
     """Entity canonical value: pred-specific field + IOC normalization.
 
     Normalization (entity linking, not triple identity): refang common
-    defang patterns ([.] -> ., hxxp -> http), case-fold.  The socket
-    entity key is address:port like the reference's network-traffic
-    uuid5 seed f"{address}//{port}//..." (mwcp/metadata.py:1010-1016).
+    defang patterns — bracketed separators [.] (.) {.} [:] [@] and the
+    hxxp/hxxps scheme — then case-fold.  Real IOC corpora mix these
+    freely; without refang one C2 splits into several entities.  The
+    socket entity key is address:port like the reference's
+    network-traffic uuid5 seed f"{address}//{port}//..."
+    (mwcp/metadata.py:1010-1016).  Twin: kgmwcp/goldens.py
+    canonical_value — keep the two regexes identical.
     """
     value = F.when(
         pred_col == "socket",
@@ -58,7 +62,8 @@ def canonical_value_expr(pred_col, obj_col):
         value = value.when(pred_col == pred, F.get_json_object(obj_col, path))
     value = value.otherwise(obj_col)
     refanged = F.regexp_replace(
-        F.regexp_replace(value, r"\[\.\]", "."), "(?i)^hxxp", "http"
+        F.regexp_replace(value, r"[\[({]([.:@])[\])}]", "$1"),
+        "(?i)^hxxp", "http",
     )
     return F.lower(refanged)
 

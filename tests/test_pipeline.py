@@ -393,3 +393,33 @@ def test_stix_sample_ref_deterministic_for_dup_content(tables):
     assert ma["sample_ref"] in ids
     sample = next(o for o in b["objects"] if o["id"] == ma["sample_ref"])
     assert sample["name"] == "dup_a.ps1"  # min(name) of the two provenances
+
+
+def test_refang_defanged_iocs(spark):
+    """Entity canonicalization refangs bracketed separators and hxxp
+    schemes so one defanged C2 doesn't split into several entities;
+    the goldens twin must agree on every case."""
+    import json as _json
+
+    from kgmwcp import goldens
+    from kgmwcp.stages.link import canonical_value_expr
+
+    cases = [
+        ("url", {"url": "hxxp://evil[.]com/a"}, "http://evil.com/a"),
+        ("url", {"url": "hXXps://bad(.)org/x"}, "https://bad.org/x"),
+        ("url", {"url": "http://c2{.}net[:]8080"}, "http://c2.net:8080"),
+        ("email_address", {"value": "Admin[@]Evil[.]com"}, "admin@evil.com"),
+        ("socket", {"address": "10.0.0[.]1", "port": 443}, "10.0.0.1:443"),
+        # bracketed non-separators must NOT be touched
+        ("mutex", {"value": "Global\\[x](y)"}, "global\\[x](y)"),
+    ]
+    df = spark.createDataFrame(
+        [(pred, _json.dumps(obj)) for pred, obj, _ in cases],
+        "pred string, obj string",
+    ).withColumn("cv", canonical_value_expr(F.col("pred"), F.col("obj")))
+    got = [r["cv"] for r in df.collect()]
+    want = [expected for _, _, expected in cases]
+    assert got == want
+    twin = [goldens.canonical_value(pred, _json.dumps(obj))
+            for pred, obj, _ in cases]
+    assert twin == want
