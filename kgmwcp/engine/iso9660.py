@@ -11,12 +11,18 @@ that the reference walks via pycdlib (ISO.py:59-83):
   area; ``NM`` entries carry POSIX names (``SP`` in the root's self
   record signals SUSP presence).
 
-UDF is a separate filesystem (not a name view of the ISO9660 tree); like
-pycdlib-less readers generally, we do not parse it — ``has_udf`` reports
-False and the primary walk still recovers bridge-format payloads.
+* **UDF** — a genuinely separate filesystem (ECMA-167/OSTA UDF) carried
+  alongside the ISO9660 tree on bridge-format discs.  The reader walks
+  it from scratch: Anchor Volume Descriptor Pointer at sector 256 →
+  main Volume Descriptor Sequence → Partition + Logical Volume
+  Descriptors → File Set Descriptor → root directory File Entry → File
+  Identifier Descriptors, with inline, short_ad and long_ad allocation
+  types.  Payloads recorded only in the UDF tree (empty primary root)
+  are recovered the way pycdlib's udf_path walk does (ISO.py:71-73).
 
 Writer emits deterministic single-directory images for fixtures, with
-optional Joliet and Rock Ridge name tables.
+optional Joliet and Rock Ridge name tables; ``build_udf_bridge`` writes
+a bridge image whose files live only in the UDF filesystem.
 """
 
 from __future__ import annotations
@@ -24,7 +30,7 @@ from __future__ import annotations
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
-__all__ = ["IsoReader", "is_iso", "build_iso"]
+__all__ = ["IsoReader", "is_iso", "build_iso", "build_udf_bridge"]
 
 SECTOR = 2048
 PVD_OFFSETS = (0x8001, 0x8801, 0x9001)
@@ -135,16 +141,141 @@ class IsoReader:
         return False
 
     def has_udf(self) -> bool:
-        return False  # UDF descriptors are not parsed (module docstring)
+        """True when a valid UDF anchor chain resolves to a file-set root
+        (AVDP at sector 256 → VDS → PD+LVD → FSD, module docstring)."""
+        return self._udf_root() is not None
+
+    # -- UDF (ECMA-167 subset) ---------------------------------------------
+    def _udf_tag_id(self, off: int) -> Optional[int]:
+        """Descriptor tag id at ``off`` iff the tag checksum verifies."""
+        if off + 16 > len(self.data):
+            return None
+        tag = self.data[off:off + 16]
+        if sum(tag[i] for i in range(16) if i != 4) % 256 != tag[4]:
+            return None
+        return struct.unpack_from("<H", tag)[0]
+
+    def _udf_root(self):
+        """-> (partition_start_sector, root_icb_block) or None; memoized."""
+        if hasattr(self, "_udf_root_cache"):
+            return self._udf_root_cache
+        self._udf_root_cache = self._udf_locate()
+        return self._udf_root_cache
+
+    def _udf_locate(self):
+        data = self.data
+        # Anchor Volume Descriptor Pointer (tag 2) at sector 256
+        avdp = 256 * SECTOR
+        if self._udf_tag_id(avdp) != 2:
+            return None
+        vds_len, vds_loc = struct.unpack_from("<II", data, avdp + 16)
+        part_start = None
+        fsd_block = None
+        block_size = SECTOR
+        for i in range(min(vds_len // SECTOR, 32)):
+            off = (vds_loc + i) * SECTOR
+            tag = self._udf_tag_id(off)
+            if tag == 5:    # Partition Descriptor
+                part_start = struct.unpack_from("<I", data, off + 188)[0]
+            elif tag == 6:  # Logical Volume Descriptor
+                block_size = struct.unpack_from("<I", data, off + 212)[0]
+                # logicalVolumeContentsUse = long_ad of the File Set Desc
+                fsd_block = struct.unpack_from("<I", data, off + 252)[0]
+            elif tag in (8, None):  # terminator / invalid
+                break
+        if part_start is None or fsd_block is None or block_size != SECTOR:
+            return None
+        fsd = (part_start + fsd_block) * SECTOR
+        if self._udf_tag_id(fsd) != 256:  # File Set Descriptor
+            return None
+        root_block = struct.unpack_from("<I", data, fsd + 404)[0]
+        return part_start, root_block
+
+    def _udf_file_entry(self, part_start: int, block: int):
+        """File (261) / Extended File (266) Entry -> (file_type, content)."""
+        off = (part_start + block) * SECTOR
+        tag = self._udf_tag_id(off)
+        if tag == 261:
+            l_ea_off, l_ad_off, ad_base = off + 168, off + 172, off + 176
+        elif tag == 266:
+            l_ea_off, l_ad_off, ad_base = off + 208, off + 212, off + 216
+        else:
+            return None
+        file_type = self.data[off + 27]            # icbtag.fileType
+        alloc = struct.unpack_from("<H", self.data, off + 34)[0] & 0x7
+        l_ea = struct.unpack_from("<I", self.data, l_ea_off)[0]
+        l_ad = struct.unpack_from("<I", self.data, l_ad_off)[0]
+        ad_off = ad_base + l_ea
+        if alloc == 3:      # data inline in the allocation-descriptor area
+            content = self.data[ad_off:ad_off + l_ad]
+        elif alloc in (0, 1):  # short_ad (8 B) / long_ad (16 B) lists
+            width = 8 if alloc == 0 else 16
+            parts = []
+            for pos in range(ad_off, ad_off + l_ad, width):
+                elen, eblock = struct.unpack_from("<II", self.data, pos)
+                elen &= 0x3FFFFFFF
+                if elen == 0:
+                    break
+                start = (part_start + eblock) * SECTOR
+                parts.append(self.data[start:start + elen])
+            content = b"".join(parts)
+        else:
+            return None
+        return file_type, content
+
+    @staticmethod
+    def _udf_fids(content: bytes):
+        """File Identifier Descriptors (tag 257) in directory content ->
+        (name, is_dir, icb_block) for non-parent, non-deleted entries."""
+        pos = 0
+        while pos + 38 <= len(content):
+            if struct.unpack_from("<H", content, pos)[0] != 257:
+                break
+            chars = content[pos + 18]
+            l_fi = content[pos + 19]
+            icb_block = struct.unpack_from("<I", content, pos + 24)[0]
+            l_iu = struct.unpack_from("<H", content, pos + 36)[0]
+            fi = content[pos + 38 + l_iu:pos + 38 + l_iu + l_fi]
+            total = 38 + l_iu + l_fi
+            pos += total + (-total) % 4            # pad to 4-byte multiple
+            if chars & 0x08 or chars & 0x04:       # parent / deleted
+                continue
+            if not fi:
+                continue
+            # d-string: leading compression id (8 = bytes, 16 = UTF-16BE)
+            if fi[0] == 16:
+                name = fi[1:].decode("utf-16-be", errors="replace")
+            else:
+                name = fi[1:].decode("latin1")
+            yield name, bool(chars & 0x02), icb_block
 
     # -- walks ------------------------------------------------------------
     def walk(self, view: str = "iso") -> Iterator[Tuple[str, str, bytes]]:
         """Yields (dirname, filename, data) depth-first.
 
         ``view``: "iso" (primary 8.3 identifiers), "joliet" (UTF-16BE long
-        names from the supplementary tree), or "rr" (primary tree with
-        Rock Ridge NM names).
+        names from the supplementary tree), "rr" (primary tree with
+        Rock Ridge NM names), or "udf" (the separate UDF filesystem).
         """
+        if view == "udf":
+            root = self._udf_root()
+            if root is None:
+                return
+            part_start, root_block = root
+            dirs: List[Tuple[str, int]] = [("/", root_block)]
+            while dirs:
+                dirname, block = dirs.pop()
+                fe = self._udf_file_entry(part_start, block)
+                if fe is None or fe[0] != 4:       # not a directory ICB
+                    continue
+                for name, is_dir, icb_block in self._udf_fids(fe[1]):
+                    if is_dir:
+                        dirs.append((dirname.rstrip("/") + "/" + name, icb_block))
+                    else:
+                        child = self._udf_file_entry(part_start, icb_block)
+                        if child is not None and child[0] == 5:  # regular file
+                            yield dirname, name, child[1]
+            return
         if view == "joliet":
             if self._joliet_root is None:
                 return
@@ -294,3 +425,204 @@ def build_iso(files: Dict[str, bytes], volume_id: str = "KGMWCP",
     for name, payload in files.items():
         image += pad_sector(payload)
     return image
+
+
+# -- UDF bridge writer (fixtures) -------------------------------------------------
+
+def _crc_ccitt(data: bytes) -> int:
+    """CRC-ITU-T (poly 0x1021, init 0) — UDF descriptor-tag CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1021 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+def _udf_desc(tag_id: int, location: int, body: bytes,
+              crc_len: Optional[int] = None) -> bytes:
+    """Full descriptor sector: 16-byte tag (checksum + CRC computed) +
+    body, zero-padded to one sector."""
+    if crc_len is None:
+        crc_len = len(body)
+    tag = bytearray(16)
+    struct.pack_into("<H", tag, 0, tag_id)
+    struct.pack_into("<H", tag, 2, 2)                    # NSR02 version
+    struct.pack_into("<H", tag, 8, _crc_ccitt(body[:crc_len]))
+    struct.pack_into("<H", tag, 10, crc_len)
+    struct.pack_into("<I", tag, 12, location)
+    tag[4] = sum(tag[i] for i in range(16) if i != 4) % 256
+    out = bytes(tag) + body
+    return out + b"\x00" * (-len(out) % SECTOR)
+
+
+def _udf_long_ad(length: int, block: int, partref: int = 0) -> bytes:
+    ad = bytearray(16)
+    struct.pack_into("<I", ad, 0, length)
+    struct.pack_into("<I", ad, 4, block)
+    struct.pack_into("<H", ad, 8, partref)
+    return bytes(ad)
+
+
+def _udf_file_entry_desc(block: int, file_type: int, alloc_flags: int,
+                         info_len: int, alloc_descs: bytes) -> bytes:
+    """File Entry (tag 261): icbtag + stat fields + allocation descriptors."""
+    body = bytearray(176 - 16)
+    # icbtag (offsets relative to descriptor start minus the 16-byte tag)
+    struct.pack_into("<H", body, 4 - 0, 4)               # strategy type 4
+    struct.pack_into("<H", body, 8, 1)                   # max entries
+    body[11] = file_type                                 # 4 dir / 5 file
+    struct.pack_into("<H", body, 18, alloc_flags)        # alloc desc type
+    # stat block
+    struct.pack_into("<I", body, 20, 0xFFFFFFFF)         # uid
+    struct.pack_into("<I", body, 24, 0xFFFFFFFF)         # gid
+    struct.pack_into("<H", body, 32, 1)                  # link count
+    struct.pack_into("<Q", body, 40, info_len)           # information length
+    struct.pack_into("<Q", body, 48, (info_len + SECTOR - 1) // SECTOR)
+    struct.pack_into("<I", body, 92, 1)                  # checkpoint
+    struct.pack_into("<I", body, 156, len(alloc_descs))  # L_AD (L_EA = 0)
+    return _udf_desc(261, block, bytes(body) + alloc_descs)
+
+
+def _udf_fid(name: Optional[str], chars: int, icb_block: int,
+             location: int) -> bytes:
+    """File Identifier Descriptor (tag 257); ``name=None`` -> parent FID."""
+    fi = b"" if name is None else b"\x08" + name.encode("latin1")
+    body = bytearray(38 - 16)
+    body[2] = chars
+    body[3] = len(fi)
+    body[4:20] = _udf_long_ad(SECTOR, icb_block)
+    raw = bytes(body) + fi
+    total = 16 + len(raw)
+    raw += b"\x00" * ((-total) % 4)
+    # FIDs embed in directory data: tag CRC spans the padded body
+    return _udf_desc(257, location, raw)[: 16 + len(raw)]
+
+
+def build_udf_bridge(files: Dict[str, bytes],
+                     volume_id: str = "KGMWCP") -> bytes:
+    """Bridge-format image: a minimal ISO9660 PVD with an EMPTY primary
+    root (so only the UDF tree carries payloads) + Volume Recognition
+    Sequence (BEA01/NSR02/TEA01) + AVDP at sector 256 -> VDS (PD + LVD)
+    -> FSD -> root directory File Entry (inline FIDs) -> per-file File
+    Entries (short_ad) -> data extents."""
+    def pad_sector(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % SECTOR)
+
+    # ---- ISO9660 side: PVD + terminator + empty root dir at sector 21
+    iso_root_extent = 21
+
+    def dir_record(ident: bytes, extent: int, size: int, flags: int) -> bytes:
+        su_off = 33 + len(ident) + (1 if len(ident) % 2 == 0 else 0)
+        rec = bytearray(su_off + su_off % 2)
+        rec[0] = len(rec)
+        struct.pack_into("<I", rec, 2, extent)
+        struct.pack_into(">I", rec, 6, extent)
+        struct.pack_into("<I", rec, 10, size)
+        struct.pack_into(">I", rec, 14, size)
+        rec[18:25] = bytes([120, 1, 1, 0, 0, 0, 0])
+        rec[25] = flags
+        rec[28] = 1
+        rec[31] = 1
+        rec[32] = len(ident)
+        rec[33:33 + len(ident)] = ident
+        return bytes(rec)
+
+    pvd = bytearray(SECTOR)
+    pvd[0] = 1
+    pvd[1:6] = MAGIC
+    pvd[6] = 1
+    pvd[40:40 + len(volume_id)] = volume_id.encode("ascii")
+    pvd[120] = 1; pvd[123] = 1
+    pvd[124] = 1; pvd[127] = 1
+    struct.pack_into("<H", pvd, 128, SECTOR)
+    struct.pack_into(">H", pvd, 130, SECTOR)
+    root_rec = dir_record(b"\x00", iso_root_extent, SECTOR, 0x02)
+    pvd[156:156 + len(root_rec)] = root_rec
+
+    terminator = bytearray(SECTOR)
+    terminator[0] = 255
+    terminator[1:6] = MAGIC
+
+    def vsd(ident: bytes) -> bytes:
+        v = bytearray(SECTOR)
+        v[0] = 0
+        v[1:6] = ident
+        v[6] = 1
+        return bytes(v)
+
+    iso_root = pad_sector(
+        dir_record(b"\x00", iso_root_extent, SECTOR, 0x02)
+        + dir_record(b"\x01", iso_root_extent, SECTOR, 0x02))
+
+    # ---- UDF side: VDS at 32..34, partition at 260
+    vds_loc, part_start = 32, 260
+
+    pd_body = bytearray(512 - 16)
+    struct.pack_into("<H", pd_body, 4, 1)                # flags: allocated
+    _nsr = b"\x00+NSR02"                                 # contents regid
+    pd_body[8:8 + len(_nsr)] = _nsr
+    struct.pack_into("<I", pd_body, 168, 1)              # access: read-only
+    struct.pack_into("<I", pd_body, 172, part_start)     # starting location
+    struct.pack_into("<I", pd_body, 176, 4096)           # partition length
+    pd = _udf_desc(5, vds_loc, bytes(pd_body))
+
+    lvd_body = bytearray(446 - 16)
+    lvd_body[4] = 0                                      # charset
+    struct.pack_into("<I", lvd_body, 196, SECTOR)        # logical block size
+    _domain = b"\x00*OSTA UDF Compliant"                 # domain regid
+    lvd_body[200:200 + len(_domain)] = _domain
+    lvd_body[232:248] = _udf_long_ad(SECTOR, 0)          # FSD at part block 0
+    struct.pack_into("<I", lvd_body, 248, 6)             # map table length
+    struct.pack_into("<I", lvd_body, 252, 1)             # one partition map
+    # type-1 partition map at offset 424 (desc offset 440)
+    lvd_body[424] = 1
+    lvd_body[425] = 6
+    struct.pack_into("<H", lvd_body, 426, 1)             # vol seq number
+    struct.pack_into("<H", lvd_body, 428, 0)             # partition number
+    lvd = _udf_desc(6, vds_loc + 1, bytes(lvd_body))
+
+    vds_term = _udf_desc(8, vds_loc + 2, bytes(496))
+
+    avdp_body = bytearray(512 - 16)
+    struct.pack_into("<II", avdp_body, 0, 3 * SECTOR, vds_loc)
+    avdp = _udf_desc(2, 256, bytes(avdp_body))
+
+    # partition blocks: 0 = FSD, 1 = root dir FE, 2.. = file FEs + data
+    fsd_body = bytearray(512 - 16)
+    fsd_body[384:400] = _udf_long_ad(SECTOR, 1)          # root ICB at block 1
+    fsd = _udf_desc(256, part_start, bytes(fsd_body))
+
+    placements = {}
+    next_block = 2
+    for name, payload in files.items():
+        n_sectors = max(1, (len(payload) + SECTOR - 1) // SECTOR)
+        placements[name] = (next_block, next_block + 1)  # (FE, data start)
+        next_block += 1 + n_sectors
+
+    fids = _udf_fid(None, 0x0A, 1, part_start + 1)       # parent -> root
+    for name in files:
+        fids += _udf_fid(name, 0x00, placements[name][0], part_start + 1)
+    root_fe = _udf_file_entry_desc(part_start + 1, 4, 3, len(fids), fids)
+
+    part_blocks = [fsd, root_fe]
+    for name, payload in files.items():
+        fe_block, data_block = placements[name]
+        short_ad = struct.pack("<II", len(payload), data_block)
+        part_blocks.append(_udf_file_entry_desc(
+            part_start + fe_block, 5, 0, len(payload), short_ad))
+        part_blocks.append(pad_sector(payload))
+
+    # ---- assemble
+    image = bytearray(b"\x00" * (16 * SECTOR))
+    image += pvd + bytes(terminator)
+    image += vsd(b"BEA01") + vsd(b"NSR02") + vsd(b"TEA01")   # sectors 18-20
+    image += iso_root                                        # sector 21
+    image += b"\x00" * ((vds_loc - 22) * SECTOR)
+    image += pd + lvd + vds_term                             # 32-34
+    image += b"\x00" * ((256 - 35) * SECTOR)
+    image += avdp                                            # 256
+    image += b"\x00" * ((part_start - 257) * SECTOR)
+    for blk in part_blocks:                                  # 260+
+        image += blk
+    return bytes(image)

@@ -571,6 +571,7 @@ class ISOImageFile(Rule):
             views = ["iso"]
             if reader.has_udf():
                 ctx.log_info("UDF extension identified")  # ISO.py:72-73
+                views.append("udf")
             if reader.has_joliet():
                 ctx.log_info("Joliet extension identified")  # ISO.py:76-77
                 views.append("joliet")

