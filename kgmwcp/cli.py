@@ -61,9 +61,9 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--stix", action="store_true",
                         help="also write STIX 2.1 bundles (one per root sample)")
     parser.add_argument("--format", dest="render_format", default=None,
-                        choices=["text", "md"],
-                        help="also render per-root reports as text/markdown "
-                             "files under <output>/reports_<format>/")
+                        choices=["text", "md", "html"],
+                        help="also render per-root reports as text/markdown/"
+                             "html files under <output>/reports_<format>/")
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (handled before --input is required)")

@@ -6,7 +6,9 @@ writes) the way the reference CLI's default writers do
 per metadata type in class-name order, ``Other`` as a trailing
 Miscellaneous table, residual ``File`` entries with customized columns,
 then Errors/Logs code blocks.  Formats: ``text`` (the reference's
-"simple" tabulate style) and ``md`` (pipe tables, newlines as <br>).
+"simple" tabulate style), ``md`` (pipe tables, newlines as <br>) and
+``html`` (escaped table markup, multi-line cells wrapped in <pre> —
+reference HTMLWriter, report_writers.py:338-365).
 
 This is presentation, not a distributed stage — it runs on the driver
 over collected rows, so there is no tabulate dependency (the container
@@ -29,7 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 __all__ = ["render_report", "render_reports_df", "FORMATS"]
 
-FORMATS = ("text", "md")
+FORMATS = ("text", "md", "html")
 
 _MAX_COL_WIDTH = 100
 _MAX_COL_INT_WIDTH = 50
@@ -108,6 +110,13 @@ def _format_cell(value, fmt: str) -> str:
         )
     if fmt == "md":
         text = text.replace("\n", "<br>")
+    elif fmt == "html":
+        import html as _html
+
+        text = _html.escape(text)
+        if "\n" in text:
+            # preserve whitespace (report_writers.py:346-351)
+            text = f"<pre>{text}</pre>"
     return text
 
 
@@ -127,7 +136,20 @@ def _table(rows: List[List[str]], headers: List[str], fmt: str) -> str:
         ).rstrip()
 
     out: List[str] = []
-    if fmt == "md":
+    if fmt == "html":
+        import html as _html
+
+        out.append("<table>")
+        out.append("<thead><tr>" + "".join(
+            f"<th>{_html.escape(h)}</th>" for h in headers) + "</tr></thead>")
+        out.append("<tbody>")
+        for row in rows:
+            # cells were already escaped (and <pre>-wrapped) by _format_cell
+            out.append("<tr>" + "".join(
+                f"<td>{cell}</td>" for cell in row) + "</tr>")
+        out.append("</tbody>")
+        out.append("</table>")
+    elif fmt == "md":
         out.append("| " + " | ".join(
             h.ljust(widths[i]) for i, h in enumerate(headers)) + " |")
         out.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
@@ -147,16 +169,28 @@ def _table(rows: List[List[str]], headers: List[str], fmt: str) -> str:
 
 
 def _h1(text: str, fmt: str) -> str:
+    if fmt == "html":
+        import html as _html
+
+        return f"<h1>{_html.escape(text)}</h1>\n"
     return f"# {text}\n" if fmt == "md" else f"----- {text} -----\n"
 
 
 def _h2(text: str, fmt: str) -> str:
+    if fmt == "html":
+        import html as _html
+
+        return f"<h2>{_html.escape(text)}</h2>\n"
     return f"## {text}\n" if fmt == "md" else f"---- {text} ----\n"
 
 
 def _code_block(text: str, fmt: str) -> str:
     if not text.endswith("\n"):
         text += "\n"
+    if fmt == "html":
+        import html as _html
+
+        return f"<pre>\n{_html.escape(text)}</pre>\n\n"
     return f"```\n{text}```\n\n" if fmt == "md" else text + "\n"
 
 
@@ -285,7 +319,7 @@ def render_reports_df(reports, out_dir: str, fmt: str = "text",
     the driver (toLocalIterator) — presentation output, not a Spark sink."""
     import pathlib
 
-    ext = "md" if fmt == "md" else "txt"
+    ext = {"md": "md", "html": "html"}.get(fmt, "txt")
     path = pathlib.Path(out_dir)
     path.mkdir(parents=True, exist_ok=True)
     n = 0

@@ -132,6 +132,20 @@ def test_render_text_golden(spark):
     assert "| fooconfigtest.txt | example output file |" in md
     assert "```\n[I] operating on inputfile anything.txt" in md
 
+    html_out = render_report(report, "html")
+    assert "<h1>File: anything.txt</h1>" in html_out
+    assert "<h2>Residual Files</h2>" in html_out
+    assert "<td>fooconfigtest.txt</td>" in html_out
+    assert "<pre>\n[I] operating on inputfile anything.txt" in html_out
+
+    # values are escaped (reference HTMLWriter escapes every cell)
+    hostile = dict(report)
+    hostile["metadata"] = [{"type": "mutex", "tags": [],
+                            "value": "<script>alert(1)</script>"}]
+    rendered = render_report(hostile, "html")
+    assert "<script>" not in rendered
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in rendered
+
 
 def test_cli_render_format(spark, tmp_path):
     src = str(tmp_path / "docs")
