@@ -94,7 +94,10 @@ def parse_wav(payload: bytes) -> Optional[dict]:
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size & 1)   # chunks pad to even offsets
-    if channels is None or sample_rate is None or data_size is None:
+    if channels is None or data_size is None:
+        return None
+    # corrupt fmt chunks can carry zeros — reject instead of dividing
+    if not channels or not sample_rate or bits not in (8, 16, 24, 32):
         return None
     n_samples = data_size // (channels * (bits // 8))
     return {

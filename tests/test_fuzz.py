@@ -134,3 +134,51 @@ def test_elf_mutation_never_raises(data, seed):
     if e is not None:
         list(e.sections())
         _ = e.architecture
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_media_parsers_total_on_arbitrary_bytes(data):
+    """parse_bmp/parse_wav return a dict or None on ANY input — never
+    raise (they guard every fixed-offset read)."""
+    from kgmwcp.engine import media
+
+    for parser in (media.parse_bmp, media.parse_wav):
+        out = parser(data)
+        assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048),
+       seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_media_parsers_total_on_corrupted_valid_files(data, seed):
+    """Bit-flipped real BMP/WAV files parse or reject, never crash —
+    the adversarial case a malware corpus actually presents."""
+    import random
+
+    from kgmwcp.engine import media
+
+    rng = random.Random(seed)
+    base = media.make_bmp(9, 7, 3, seed=seed % 256) if seed % 2 else \
+        media.make_wav(2, 8000, 33, seed=seed % 256)
+    corrupted = bytearray(base + data)
+    for _ in range(8):
+        corrupted[rng.randrange(len(corrupted))] ^= 1 << rng.randrange(8)
+    for parser in (media.parse_bmp, media.parse_wav):
+        out = parser(bytes(corrupted))
+        assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_udf_walk_total_on_arbitrary_tail(data):
+    """An ISO whose UDF anchor region is arbitrary bytes must either walk
+    or report no UDF — never raise (tag checksums gate every descriptor)."""
+    from kgmwcp.engine import iso9660
+
+    img = bytearray(iso9660.build_udf_bridge({"a.txt": b"payload"}))
+    # overwrite the anchor sector region with fuzz bytes
+    off = 256 * iso9660.SECTOR
+    img[off:off + len(data)] = data
+    reader = iso9660.IsoReader(bytes(img))
+    assert isinstance(list(reader.walk("udf")), list)
