@@ -67,6 +67,12 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (handled before --input is required)")
+    parser.add_argument("--residuals", action="store_true",
+                        help="carry residual-file payload bytes through "
+                             "extraction, write a content-addressed "
+                             "<output>/residuals parquet table and "
+                             "materialize <output>/residual_files/ with "
+                             "collision-safe {md5:5}_{name} filenames")
     return parser.parse_args(argv)
 
 
@@ -90,6 +96,7 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         extract_partitions=args.extract_partitions,
         knowledge_base=json.loads(args.knowledge_base),
         use_router=args.router,
+        emit_file_data=args.residuals,
     )
     pipe = Pipeline(config)
 
@@ -132,12 +139,28 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         table_names = ("triples", "nodes", "edges", "reports")
         if args.stix:
             table_names += ("stix",)
+        if args.residuals:
+            table_names += ("residuals",)
         for name in table_names:
             df = tables[name]
             df.write.mode("overwrite").parquet(f"{args.output}/{name}")
             summary[name] = spark.read.parquet(f"{args.output}/{name}").count()
         metrics = Pipeline.metrics(tables["records"])
         metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+        if args.residuals:
+            # reference report.py:861-885 UX: actual files on disk, named
+            # {md5[:5]}_{sanitized-name}; driver-side streaming write
+            from kgmwcp.engine.strings import collision_safe_name
+
+            res_dir = _pathlib.Path(args.output) / "residual_files"
+            res_dir.mkdir(parents=True, exist_ok=True)
+            n_written = 0
+            residuals = spark.read.parquet(f"{args.output}/residuals")
+            for row in residuals.select("md5", "name", "data").toLocalIterator():
+                (res_dir / collision_safe_name(row["md5"], row["name"])
+                 ).write_bytes(bytes(row["data"]))
+                n_written += 1
+            summary["residual_files"] = n_written
         if args.render_format:
             from kgmwcp.render import render_reports_df
 

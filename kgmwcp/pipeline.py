@@ -44,6 +44,12 @@ class PipelineConfig:
     # fill NULL routes so the python identify cascade first-tries the
     # right group; input-supplied routes still win.
     use_router: bool = False
+    # residual-file sink (reference report.py:861-885 writes output_file
+    # children to disk): when on, file_node records carry the child's
+    # payload bytes and a content-addressed `residuals` table is emitted.
+    # Off by default — payload bytes through the records cache/shuffle is
+    # a real cost you opt into, not a default at 100 TB.
+    emit_file_data: bool = False
 
 
 class Pipeline:
@@ -67,6 +73,7 @@ class Pipeline:
             group_order=self.config.group_order,
             knowledge_base=self.config.knowledge_base,
             route_scope="root" if self.config.use_router else "all",
+            emit_file_data=self.config.emit_file_data,
         )
 
     # -- full run ----------------------------------------------------------
@@ -82,7 +89,7 @@ class Pipeline:
         return self.tables_from_records(records)
 
     def tables_from_records(self, records: DataFrame) -> Dict[str, DataFrame]:
-        return {
+        tables = {
             "records": records,
             "mentions": mentions_of(records),
             "files": files_of(records),
@@ -93,6 +100,37 @@ class Pipeline:
                 records, external_knowledge=self.config.knowledge_base),
             "stix": stix_bundles_of(records),
         }
+        if self.config.emit_file_data:
+            tables["residuals"] = self.residuals_of(records)
+        return tables
+
+    @staticmethod
+    def residuals_of(records: DataFrame) -> DataFrame:
+        """Content-addressed residual-file table: one row per distinct
+        child payload (sha256-keyed — identical children extracted from
+        many roots collapse to one row; a single shuffle on the
+        high-cardinality hash).  Provenance picks min (name, description,
+        derivation) so the row is deterministic across partitionings;
+        bytes are identical for a given sha256 by construction."""
+        residual = records.filter(
+            (F.col("kind") == "file_node") & F.col("file_data").isNotNull())
+        return (
+            residual.groupBy(F.col("file_sha256").alias("sha256"))
+            .agg(
+                F.first("file_md5").alias("md5"),
+                F.min(F.struct("file_name", "file_description",
+                               "file_derivation")).alias("prov"),
+                F.first("file_data").alias("data"),
+                F.count(F.lit(1)).alias("n_sources"),
+            )
+            .select(
+                "sha256", "md5",
+                F.col("prov.file_name").alias("name"),
+                F.col("prov.file_description").alias("description"),
+                F.col("prov.file_derivation").alias("derivation"),
+                "data", "n_sources",
+            )
+        )
 
     # -- checkpointed run ---------------------------------------------------
     def run_checkpointed(self, spark: SparkSession, docs: DataFrame,
@@ -109,6 +147,7 @@ class Pipeline:
             group_order=self.config.group_order,
             knowledge_base=self.config.knowledge_base,
             route_scope="root" if self.config.use_router else "all",
+            emit_file_data=self.config.emit_file_data,
         )
         ckpt.write_records(records, fail_after_buckets=fail_after_buckets)
         committed = ckpt.read_records()

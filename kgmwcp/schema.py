@@ -57,6 +57,10 @@ EXTRACT_SCHEMA = StructType([
     StructField("parser", StringType()),        # rule that parsed the subject
     StructField("error", StringType()),
     StructField("bucket", IntegerType()),
+    # residual payload bytes (kind='file_node', output_file children only,
+    # and ONLY when PipelineConfig.emit_file_data is on — all-null
+    # otherwise, which costs a validity bitmap and nothing more)
+    StructField("file_data", BinaryType()),
 ])
 
 TRIPLES_SCHEMA = StructType([

@@ -47,6 +47,7 @@ _ARROW_SCHEMA = pa.schema([
     pa.field("parser", pa.string()),
     pa.field("error", pa.string()),
     pa.field("bucket", pa.int32()),
+    pa.field("file_data", pa.binary()),
 ])
 
 _N_COLS = len(_ARROW_SCHEMA)
@@ -54,7 +55,8 @@ _COL_INDEX = {f.name: i for i, f in enumerate(_ARROW_SCHEMA)}
 
 
 def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
-                         route_scope: str = "all") -> pa.RecordBatch:
+                         route_scope: str = "all",
+                         emit_file_data: bool = False) -> pa.RecordBatch:
     repos = batch.column("repo").to_pylist()
     paths = batch.column("path").to_pylist()
     commits = batch.column("commit").to_pylist()
@@ -66,7 +68,7 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
     cols: List[list] = [[] for _ in range(_N_COLS)]
     (c_kind, c_root, c_subj, c_pred, c_obj, c_fsha, c_fmd5, c_fname, c_fdesc,
      c_fderiv, c_parent, c_depth, c_repo, c_path, c_commit, c_parser, c_error,
-     c_bucket) = cols
+     c_bucket, c_fdata) = cols
 
     def _common(n, root_sha, repo, path, commit, bucket):
         c_root.extend([root_sha] * n)
@@ -99,6 +101,7 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
         c_parent.extend([None] * n_m)
         c_depth.extend([None] * n_m)
         c_error.extend([None] * n_m)
+        c_fdata.extend([None] * n_m)
         _common(n_m, root_sha, repo, path, commit, bucket)
 
         n_f = len(result.files)
@@ -113,6 +116,11 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
             c_parent.append(f.parent.sha256 if f.parent else None)
             c_depth.append(f.depth)
             c_parser.append(f.rule.name() if f.rule else None)
+            # residual payload bytes (reference report.py:861-885 writes
+            # output_file=True files to disk) — opt-in, children only:
+            # the root IS the input row, no need to re-store it
+            c_fdata.append(
+                f.data if emit_file_data and f.output_file else None)
         c_pred.extend([None] * n_f)
         c_obj.extend([None] * n_f)
         c_error.extend([None] * n_f)
@@ -123,7 +131,8 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
             c_kind.extend(["error"] * n_e)
             c_error.extend(result.errors)
             for col in (c_subj, c_pred, c_obj, c_fsha, c_fmd5, c_fname,
-                        c_fdesc, c_fderiv, c_parent, c_depth, c_parser):
+                        c_fdesc, c_fderiv, c_parent, c_depth, c_parser,
+                        c_fdata):
                 col.extend([None] * n_e)
             _common(n_e, root_sha, repo, path, commit, bucket)
 
@@ -137,7 +146,7 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
             for source_sha, level, message in result.logs:
                 c_subj.append(source_sha)
                 c_error.append(f"[{level}] {message}")
-            for col in (c_pred, c_obj, c_fsha, c_fmd5, c_fname,
+            for col in (c_pred, c_obj, c_fsha, c_fmd5, c_fname, c_fdata,
                         c_fdesc, c_fderiv, c_parent, c_depth, c_parser):
                 col.extend([None] * n_l)
             _common(n_l, root_sha, repo, path, commit, bucket)
@@ -151,7 +160,8 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
 
 def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
                     knowledge_base: Optional[dict] = None,
-                    route_scope: str = "all") -> DataFrame:
+                    route_scope: str = "all",
+                    emit_file_data: bool = False) -> DataFrame:
     """samples -> unified record stream (mentions + file tree + errors).
 
     ``route_scope``: "all" treats the route column as a named-parser
@@ -171,7 +181,8 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
 
         engine = ExtractionEngine(group_order=group_order)
         for batch in batches:
-            yield _process_arrow_batch(batch, engine, kb, route_scope)
+            yield _process_arrow_batch(batch, engine, kb, route_scope,
+                                       emit_file_data)
 
     # Column-prune before the Python stage so Arrow only ships what the
     # engine reads (content + provenance), never derived identity columns.

@@ -423,3 +423,38 @@ def test_refang_defanged_iocs(spark):
     twin = [goldens.canonical_value(pred, _json.dumps(obj))
             for pred, obj, _ in cases]
     assert twin == want
+
+
+def test_residual_file_sink(spark, corpus):
+    """Opt-in residual sink (reference report.py:861-885): file_node
+    records carry child payload bytes; the residuals table is
+    content-addressed (one row per sha256, identical children from many
+    roots collapse) and bytes round-trip exactly."""
+    pipe = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"},
+        emit_file_data=True))
+    tabs = pipe.run(corpus)
+    residuals = {r["sha256"]: r for r in tabs["residuals"].collect()}
+    assert residuals
+
+    # zip_nested inner.ps1 payload round-trips byte-exact
+    inner = (fixtures.PS1_URLS + "\n# variant 0\n").encode()
+    inner_sha = hashlib.sha256(inner).hexdigest()
+    row = residuals[inner_sha]
+    assert bytes(row["data"]) == inner
+    assert row["name"] == "inner.ps1"
+    assert row["md5"] == hashlib.md5(inner).hexdigest()
+    # 2 replications of zip_nested carry the same inner.ps1 per variant —
+    # content-addressing collapses rows, n_sources counts them
+    assert row["n_sources"] >= 1
+
+    # roots are NOT in the residual table (they are the input)
+    root_sha = hashlib.sha256(fixtures.PS1_URLS.encode()).hexdigest()
+    assert root_sha not in residuals
+
+    # default config stays payload-free: all file_data null, no table
+    base = Pipeline(PipelineConfig(n_buckets=8))
+    recs = base.run(corpus)
+    assert "residuals" not in recs
+    assert recs["records"].filter(
+        F.col("file_data").isNotNull()).count() == 0
