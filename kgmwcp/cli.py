@@ -67,6 +67,9 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (handled before --input is required)")
+    parser.add_argument("--greedy", action="store_true",
+                        help="run every matching parser per file instead of "
+                             "first-match (reference dispatcher greedy mode)")
     parser.add_argument("--residuals", action="store_true",
                         help="carry residual-file payload bytes through "
                              "extraction, write a content-addressed "
@@ -97,6 +100,7 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         knowledge_base=json.loads(args.knowledge_base),
         use_router=args.router,
         emit_file_data=args.residuals,
+        greedy=args.greedy,
     )
     pipe = Pipeline(config)
 

@@ -50,6 +50,9 @@ class PipelineConfig:
     # Off by default — payload bytes through the records cache/shuffle is
     # a real cost you opt into, not a default at 100 TB.
     emit_file_data: bool = False
+    # greedy dispatch (reference dispatcher.py:61-98): run EVERY matching
+    # rule per file instead of first-match.
+    greedy: bool = False
 
 
 class Pipeline:
@@ -74,6 +77,7 @@ class Pipeline:
             knowledge_base=self.config.knowledge_base,
             route_scope="root" if self.config.use_router else "all",
             emit_file_data=self.config.emit_file_data,
+            greedy=self.config.greedy,
         )
 
     # -- full run ----------------------------------------------------------
@@ -148,6 +152,7 @@ class Pipeline:
             knowledge_base=self.config.knowledge_base,
             route_scope="root" if self.config.use_router else "all",
             emit_file_data=self.config.emit_file_data,
+            greedy=self.config.greedy,
         )
         ckpt.write_records(records, fail_after_buckets=fail_after_buckets)
         committed = ckpt.read_records()

@@ -161,7 +161,8 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
 def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
                     knowledge_base: Optional[dict] = None,
                     route_scope: str = "all",
-                    emit_file_data: bool = False) -> DataFrame:
+                    emit_file_data: bool = False,
+                    greedy: bool = False) -> DataFrame:
     """samples -> unified record stream (mentions + file tree + errors).
 
     ``route_scope``: "all" treats the route column as a named-parser
@@ -179,7 +180,7 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
         # the identify-cache warm across batches.
         from kgmwcp.engine.dispatcher import ExtractionEngine
 
-        engine = ExtractionEngine(group_order=group_order)
+        engine = ExtractionEngine(group_order=group_order, greedy=greedy)
         for batch in batches:
             yield _process_arrow_batch(batch, engine, kb, route_scope,
                                        emit_file_data)

@@ -52,7 +52,9 @@ def stream_records(docs_stream: DataFrame,
         samples = route_samples(samples)
     return extract_records(samples, group_order=config.group_order,
                            knowledge_base=config.knowledge_base,
-                           route_scope="root" if config.use_router else "all")
+                           route_scope="root" if config.use_router else "all",
+                           emit_file_data=config.emit_file_data,
+                           greedy=config.greedy)
 
 
 def run_available_now(spark: SparkSession, source_dir: str, out_dir: str,

@@ -458,3 +458,28 @@ def test_residual_file_sink(spark, corpus):
     assert "residuals" not in recs
     assert recs["records"].filter(
         F.col("file_data").isNotNull()).count() == 0
+
+
+def test_greedy_pipeline_runs_all_matching_rules(spark):
+    """PipelineConfig.greedy threads the reference's greedy dispatch
+    (dispatcher.py:61-98) to the extract stage: a PDF-with-IOCs root also
+    matched by the Decoy rule keeps BOTH parses' elements."""
+    import base64
+
+    data = b"%PDF-1.4 stream http://greedy.example.com/a end"
+    docs = spark.createDataFrame(
+        [("r0", "g/doc.bin", "c0", "binary-b64",
+          base64.b64encode(data).decode(), None)],
+        "repo string, path string, commit string, lang string, "
+        "content string, route string")
+    sha = hashlib.sha256(data).hexdigest()
+
+    def preds(greedy):
+        tabs = Pipeline(PipelineConfig(n_buckets=4, greedy=greedy)).run(docs)
+        return {r["pred"] for r in tabs["triples"]
+                .filter(F.col("subj") == sha).collect()}
+
+    non_greedy = preds(False)
+    greedy = preds(True)
+    assert "url" in non_greedy         # PDF parser's URL extraction
+    assert greedy >= non_greedy        # greedy never loses elements
