@@ -570,6 +570,10 @@ def _sco_from_mention(pred: str, obj: str) -> Optional[Tuple[str, str]]:
         props = _jd({"value": o.get("url")})
         return _sco("url", props, props)
     if pred == "other" and not _other_is_note(o):
+        if o.get("value") is None:
+            # null-valued Other: the Spark side's when-condition is NULL
+            # (neither SCO nor note) and the row drops — mirror that
+            return None
         purpose = o["key"].replace("_", "-").replace(" ", "-").lower()
         key = _jd({"purpose": purpose, "value": o["value"]})
         props = _jd({"value": o["value"], "purpose": purpose,
