@@ -70,6 +70,9 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--greedy", action="store_true",
                         help="run every matching parser per file instead of "
                              "first-match (reference dispatcher greedy mode)")
+    parser.add_argument("--include-file-data", action="store_true",
+                        help="embed base64 payload bytes in File report "
+                             "elements (implies --residuals)")
     parser.add_argument("--residuals", action="store_true",
                         help="carry residual-file payload bytes through "
                              "extraction, write a content-addressed "
@@ -99,8 +102,9 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         extract_partitions=args.extract_partitions,
         knowledge_base=json.loads(args.knowledge_base),
         use_router=args.router,
-        emit_file_data=args.residuals,
+        emit_file_data=args.residuals or args.include_file_data,
         greedy=args.greedy,
+        include_file_data=args.include_file_data,
     )
     pipe = Pipeline(config)
 

@@ -53,6 +53,9 @@ class PipelineConfig:
     # greedy dispatch (reference dispatcher.py:61-98): run EVERY matching
     # rule per file instead of first-match.
     greedy: bool = False
+    # reference report.py:112,536-541: keep base64 payload bytes in File
+    # report elements. Requires emit_file_data (bytes must be present).
+    include_file_data: bool = False
 
 
 class Pipeline:
@@ -101,7 +104,8 @@ class Pipeline:
             "nodes": nodes_of(records, salt_buckets=self.config.salt_buckets),
             "edges": edges_of(records),
             "reports": reports_of(
-                records, external_knowledge=self.config.knowledge_base),
+                records, external_knowledge=self.config.knowledge_base,
+                include_file_data=self.config.include_file_data),
             "stix": stix_bundles_of(records),
         }
         if self.config.emit_file_data:

@@ -34,21 +34,58 @@ def _json_bytes(obj):
 
 
 def reports_of(records: DataFrame, parser: str | None = None,
-               external_knowledge: dict | None = None) -> DataFrame:
+               external_knowledge: dict | None = None,
+               include_file_data: bool = False) -> DataFrame:
     """records -> (root_sha256, n_elements, report_json).
 
     ``external_knowledge`` mirrors the reference report model's snapshot
     of the caller-supplied knowledge base (mwcp/report.py:156-157,
     metadata.py:2938); ``recursive`` is always true for this pipeline
-    (residual files are always dispatched)."""
+    (residual files are always dispatched).  ``include_file_data``
+    (reference report.py:112,536-541) fills File elements' ``data``
+    field with the base64 payload — requires the records to carry
+    ``file_data`` (PipelineConfig.emit_file_data)."""
     import json as _json
+    mentions = mentions_of(records)
+    if include_file_data:
+        # join the content-addressed payload bytes back onto file
+        # mentions by the element's own sha256, then patch the canonical
+        # JSON in place: sorted-key compact serialization guarantees
+        # exactly one '"data":null' in a file payload
+        payloads = (
+            records.filter((F.col("kind") == "file_node")
+                           & F.col("file_data").isNotNull())
+            .select(
+                F.col("file_sha256").alias("_fsha"),
+                # some Spark builds MIME-chunk base64 with \r\n every
+                # 76 chars (legacy.chunkBase64String) — strip
+                # unconditionally so the JSON stays valid
+                F.translate(F.base64("file_data"), "\r\n", "").alias("_b64"))
+            .dropDuplicates(["_fsha"])
+        )
+        mentions = (
+            mentions
+            .withColumn("_fsha", F.get_json_object("obj", "$.sha256"))
+            .join(payloads, "_fsha", "left")
+            .withColumn(
+                "obj",
+                F.when(
+                    (F.col("pred") == "file") & F.col("_b64").isNotNull(),
+                    F.regexp_replace(
+                        "obj", '"data":null',
+                        F.concat(F.lit('"data":"'), F.col("_b64"),
+                                 F.lit('"'))),
+                ).otherwise(F.col("obj")),
+            )
+            .drop("_fsha", "_b64")
+        )
     # '{"a":1}' -> '{"type":"<pred>","a":1}'
     entry = F.concat(
         F.lit('{"type":"'), F.col("pred"), F.lit('",'),
         F.expr("substring(obj, 2)"),
     )
     grouped = (
-        mentions_of(records)
+        mentions
         .select("root_sha256", entry.alias("entry"))
         .groupBy("root_sha256")
         .agg(F.array_sort(F.collect_set("entry")).alias("entries"))

@@ -483,3 +483,42 @@ def test_greedy_pipeline_runs_all_matching_rules(spark):
     greedy = preds(True)
     assert "url" in non_greedy         # PDF parser's URL extraction
     assert greedy >= non_greedy        # greedy never loses elements
+
+
+def test_include_file_data_in_reports(spark, corpus):
+    """Reference report.py:112,536-541: include_file_data keeps base64
+    payload bytes in File report elements; default strips them."""
+    import base64
+
+    pipe = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"},
+        emit_file_data=True, include_file_data=True))
+    tabs = pipe.run(corpus)
+    foo_sha = hashlib.sha256(
+        (fixtures.FOO_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    report = json.loads(tabs["reports"].filter(
+        F.col("root_sha256") == foo_sha).collect()[0]["report_json"])
+    entry = next(e for e in report["metadata"] if e["type"] == "file")
+    assert entry["data"] == base64.b64encode(b"hello world").decode()
+    # the rest of the element is untouched by the in-place patch
+    assert entry["name"] == "fooconfigtest.txt"
+    assert entry["md5"] == hashlib.md5(b"hello world").hexdigest()
+
+    # payloads longer than one MIME base64 line (76 chars) must embed
+    # unchunked — some Spark builds emit \r\n-chunked base64
+    inner = (fixtures.PS1_URLS + "\n# variant 0\n").encode()
+    zip_sha = hashlib.sha256(fixtures._zip_payload(inner, 0)).hexdigest()
+    zrep = json.loads(tabs["reports"].filter(
+        F.col("root_sha256") == zip_sha).collect()[0]["report_json"])
+    zentry = next(e for e in zrep["metadata"]
+                  if e["type"] == "file" and e["name"] == "inner.ps1")
+    assert zentry["data"] == base64.b64encode(inner).decode()
+    assert "\r" not in zentry["data"] and len(zentry["data"]) > 76
+
+    # default config keeps data null (reference default)
+    base = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"}))
+    report2 = json.loads(base.run(corpus)["reports"].filter(
+        F.col("root_sha256") == foo_sha).collect()[0]["report_json"])
+    entry2 = next(e for e in report2["metadata"] if e["type"] == "file")
+    assert entry2["data"] is None
