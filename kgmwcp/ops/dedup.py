@@ -304,6 +304,125 @@ FROM reach GROUP BY doc_id
 SQL_DEDUP_CLUSTER = _sql_dedup_cluster()
 
 
+# -- corpus curation (the end-to-end training-data pass) --------------------------
+# What an LLM-data pipeline actually runs before training: quality gate
+# (length/token/punct thresholds) + language gate (n-gram lang id) +
+# near-dup collapse (minhash-LSH connected components) keeping ONE
+# representative per cluster — highest token count, doc_id tie-break.
+# Shuffle profile at 100 TB: the cluster labels join (doc_id, high
+# cardinality) + one window over cluster_id (bounded partitions — the
+# hot-band cap bounds cluster sizes).  Oracle: same recursive-CTE
+# clusters + window in DuckDB.
+
+def q_curate_corpus(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(r"""filter(split(text, '\\s+'), x -> x != '')""")
+    n_tokens = F.size(toks)
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    passes_quality = (
+        (F.length("text") >= 40) & (n_tokens >= 8)
+        & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.2)
+    )
+    lang_scores = {
+        lang: F.regexp_count(F.lower("text"), F.lit(rx))
+        for lang, rx in _CURATE_LANG_MARKERS.items()
+    }
+    best = F.greatest(*lang_scores.values())
+    lang_guess = F.lit("und")
+    for lang in reversed(list(_CURATE_LANG_MARKERS)):
+        lang_guess = F.when(
+            (lang_scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_guess)
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        passes_quality.alias("passes_quality"),
+        lang_guess.alias("lang_guess"),
+    )
+    labels = q_dedup_cluster(spark, sf_dir)
+    kept = (
+        scored.join(labels, "doc_id")
+        .filter(F.col("passes_quality") & (F.col("lang_guess") != "und"))
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "lang_guess", "n_tokens",
+                "cluster_size")
+    )
+
+
+_CURATE_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|les|des|est)\b",
+}
+
+
+def _sql_curate_corpus() -> str:
+    base = SQL_DEDUP_CLUSTER
+    marker = "SELECT doc_id, min(root) AS cluster_id\nFROM reach GROUP BY doc_id"
+    assert marker in base, "unexpected cluster SQL shape"
+    ctes = base.replace(marker, "").rstrip()
+    return ctes + r"""
+, labels AS (
+  SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_tokens,
+         (length(text) >= 40
+          AND len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 8
+          AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+              / greatest(length(text), 1) < 0.2) AS passes_quality,
+         CASE
+           WHEN score_en = best AND best > 0 THEN 'en'
+           WHEN score_es = best AND best > 0 THEN 'es'
+           WHEN score_de = best AND best > 0 THEN 'de'
+           WHEN score_fr = best AND best > 0 THEN 'fr'
+           ELSE 'und'
+         END AS lang_guess
+  FROM (
+    SELECT *, greatest(score_en, score_es, score_de, score_fr) AS best
+    FROM (
+      SELECT doc_id, text,
+             length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS score_en,
+             length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS score_es,
+             length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS score_de,
+             length(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS score_fr
+      FROM documents
+    )
+  )
+), kept AS (
+  SELECT s.doc_id, s.n_tokens, s.lang_guess, l.cluster_id
+  FROM scored s JOIN labels l USING (doc_id)
+  WHERE s.passes_quality AND s.lang_guess <> 'und'
+)
+SELECT doc_id, cluster_id, lang_guess, n_tokens, cluster_size
+FROM (
+  SELECT doc_id, cluster_id, lang_guess, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM kept
+) WHERE rn = 1
+"""
+
+
+SQL_CURATE_CORPUS = _sql_curate_corpus()
+
+
 # -- SimHash ----------------------------------------------------------------------
 # 60-bit simhash over tokens; bit b set when the +1/-1 vote over token-hash
 # bit b is positive.  Token hash = first 15 hex digits of md5 = 60 bits —
@@ -439,10 +558,12 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_cluster": q_dedup_cluster,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
