@@ -98,3 +98,25 @@ def test_stix_stage_is_pure_codegen(spark):
         assert "InMemoryTableScan" in plan  # reads the records cache
     finally:
         tables["records"].unpersist()
+
+
+def test_curate_corpus_no_cartesian_no_python(spark):
+    """The curation composite stays JVM-side (no Python row stage) and
+    never degrades to a cartesian product."""
+    from kgmwcp.ops import dedup
+
+    plan = _plan(dedup.q_curate_corpus(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan
+
+
+def test_residuals_single_aggregate(spark):
+    """Content-addressed residual table: exactly one hash aggregate pair
+    (partial+final) on sha256, no join, no Python."""
+    corpus = fixtures.corpus_df(spark, replication=1, hot_rows=2)
+    pipe = Pipeline(PipelineConfig(n_buckets=4, emit_file_data=True))
+    records = pipe.records(corpus)
+    plan = _plan(Pipeline.residuals_of(records))
+    assert plan.count("HashAggregate") <= 4  # one partial+final pair (x2 for objectagg fallback)
+    assert "Join" not in plan
