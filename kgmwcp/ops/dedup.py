@@ -304,6 +304,74 @@ FROM reach GROUP BY doc_id
 SQL_DEDUP_CLUSTER = _sql_dedup_cluster()
 
 
+# -- substring-level exact dedup --------------------------------------------------
+# Doc-level dedup misses boilerplate REPEATED ACROSS different documents
+# (licenses, headers, templated spans) — the exact-substring technique:
+# every 8-token window is fingerprinted (md5); a fingerprint seen in >= 2
+# distinct docs is a duplicated span.  One explode + one groupBy on the
+# high-cardinality fingerprint (map-side combine removes within-doc
+# repeats first via the (doc_id, fp) dedupe).  At 100 TB the explode is
+# ~n_tokens rows/doc and the aggregate is skew-free (md5 keys).
+
+_SPAN_TOKENS = 8
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, _SPAN_TOKENS)]
+    span = F.concat_ws(" ", F.col("tok"), *leads)
+    spans = (
+        toks.select(
+            "doc_id",
+            span.alias("span"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", F.md5(F.encode("span", "utf-8")).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_list(
+                F.col("doc_id").cast("string"))), ",").alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_DEDUP_SUBSTRING_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), exploded_spans AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < {w} THEN []
+              ELSE list_transform(generate_series(1, len(t) - {w} + 1),
+                                  i -> array_to_string(t[i:i+{w}-1], ' '))
+         END) AS s
+  FROM toks
+), spans AS (
+  SELECT DISTINCT doc_id, md5(s) AS fp FROM exploded_spans
+)
+SELECT fp, count(*) AS n_docs,
+       array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
+FROM spans GROUP BY fp HAVING count(*) >= 2
+""".format(w=_SPAN_TOKENS)
+
+
 # -- corpus curation (the end-to-end training-data pass) --------------------------
 # What an LLM-data pipeline actually runs before training: quality gate
 # (length/token/punct thresholds) + language gate (n-gram lang id) +
@@ -559,11 +627,13 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_cluster": q_dedup_cluster,
     "curate_corpus": q_curate_corpus,
+    "dedup_substring_spans": q_dedup_substring_spans,
 }
 
 ORACLES = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
