@@ -382,7 +382,13 @@ FROM spans GROUP BY fp HAVING count(*) >= 2
 # hot-band cap bounds cluster sizes).  Oracle: same recursive-CTE
 # clusters + window in DuckDB.
 
-def q_curate_corpus(spark, sf_dir):
+def q_curate_corpus(spark, sf_dir, labels=None):
+    """``labels`` accepts a precomputed (doc_id, cluster_id) DataFrame —
+    a production pipeline computes cluster labels ONCE per corpus
+    version and feeds every downstream curation/query from it instead of
+    re-running the minhash+propagation pipeline per call (same
+    persist-the-expensive-artifact rule as similarity.train_ivf); the
+    default recomputes them, which is the oracle-twin shape."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -409,7 +415,8 @@ def q_curate_corpus(spark, sf_dir):
         passes_quality.alias("passes_quality"),
         lang_guess.alias("lang_guess"),
     )
-    labels = q_dedup_cluster(spark, sf_dir)
+    if labels is None:
+        labels = q_dedup_cluster(spark, sf_dir)
     kept = (
         scored.join(labels, "doc_id")
         .filter(F.col("passes_quality") & (F.col("lang_guess") != "und"))

@@ -118,3 +118,20 @@ def test_ivf_quantizer_reuse(spark):
         assert "InMemoryTableScan" in plan, "second search re-trained the quantizer"
     finally:
         cent.unpersist()
+
+
+def test_curate_reuses_precomputed_labels(spark):
+    """Production shape: cluster labels computed once and passed in give
+    identical curation results to the fused (oracle) form."""
+    from kgmwcp.ops.dedup import q_curate_corpus, q_dedup_cluster
+
+    labels = q_dedup_cluster(spark, SF_DIR)
+    labels.persist()
+    try:
+        fused = sorted(tuple(r) for r in
+                       q_curate_corpus(spark, SF_DIR).collect())
+        reused = sorted(tuple(r) for r in
+                        q_curate_corpus(spark, SF_DIR, labels=labels).collect())
+        assert fused == reused and len(fused) > 0
+    finally:
+        labels.unpersist()
