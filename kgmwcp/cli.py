@@ -92,6 +92,10 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         print(json.dumps(report_json_schema(), indent=4))
         return {}
     args = _parse_args(argv)
+    if args.include_file_data:
+        # genuinely implies --residuals (the help text's promise): the
+        # residuals table + residual_files/ materialization come too
+        args.residuals = True
     from kgmwcp.pipeline import Pipeline, PipelineConfig
     from kgmwcp.session import get_spark
 

@@ -162,13 +162,25 @@ class IsoReader:
         self._udf_root_cache = self._udf_locate()
         return self._udf_root_cache
 
+    @staticmethod
+    def _u32(data: bytes, off: int) -> Optional[int]:
+        """Bounds-guarded little-endian u32 — truncated images (carved /
+        partial samples) must degrade to no-UDF, never raise out of the
+        rule and abort the remaining name-view walks."""
+        if off + 4 > len(data):
+            return None
+        return struct.unpack_from("<I", data, off)[0]
+
     def _udf_locate(self):
         data = self.data
         # Anchor Volume Descriptor Pointer (tag 2) at sector 256
         avdp = 256 * SECTOR
         if self._udf_tag_id(avdp) != 2:
             return None
-        vds_len, vds_loc = struct.unpack_from("<II", data, avdp + 16)
+        vds_len = self._u32(data, avdp + 16)
+        vds_loc = self._u32(data, avdp + 20)
+        if vds_len is None or vds_loc is None:
+            return None
         part_start = None
         fsd_block = None
         block_size = SECTOR
@@ -176,11 +188,11 @@ class IsoReader:
             off = (vds_loc + i) * SECTOR
             tag = self._udf_tag_id(off)
             if tag == 5:    # Partition Descriptor
-                part_start = struct.unpack_from("<I", data, off + 188)[0]
+                part_start = self._u32(data, off + 188)
             elif tag == 6:  # Logical Volume Descriptor
-                block_size = struct.unpack_from("<I", data, off + 212)[0]
+                block_size = self._u32(data, off + 212)
                 # logicalVolumeContentsUse = long_ad of the File Set Desc
-                fsd_block = struct.unpack_from("<I", data, off + 252)[0]
+                fsd_block = self._u32(data, off + 252)
             elif tag in (8, None):  # terminator / invalid
                 break
         if part_start is None or fsd_block is None or block_size != SECTOR:
@@ -188,7 +200,9 @@ class IsoReader:
         fsd = (part_start + fsd_block) * SECTOR
         if self._udf_tag_id(fsd) != 256:  # File Set Descriptor
             return None
-        root_block = struct.unpack_from("<I", data, fsd + 404)[0]
+        root_block = self._u32(data, fsd + 404)
+        if root_block is None:
+            return None
         return part_start, root_block
 
     def _udf_file_entry(self, part_start: int, block: int):
@@ -201,18 +215,25 @@ class IsoReader:
             l_ea_off, l_ad_off, ad_base = off + 208, off + 212, off + 216
         else:
             return None
+        if off + 36 > len(self.data):
+            return None
         file_type = self.data[off + 27]            # icbtag.fileType
         alloc = struct.unpack_from("<H", self.data, off + 34)[0] & 0x7
-        l_ea = struct.unpack_from("<I", self.data, l_ea_off)[0]
-        l_ad = struct.unpack_from("<I", self.data, l_ad_off)[0]
+        l_ea = self._u32(self.data, l_ea_off)
+        l_ad = self._u32(self.data, l_ad_off)
+        if l_ea is None or l_ad is None:
+            return None
         ad_off = ad_base + l_ea
         if alloc == 3:      # data inline in the allocation-descriptor area
             content = self.data[ad_off:ad_off + l_ad]
         elif alloc in (0, 1):  # short_ad (8 B) / long_ad (16 B) lists
             width = 8 if alloc == 0 else 16
             parts = []
-            for pos in range(ad_off, ad_off + l_ad, width):
-                elen, eblock = struct.unpack_from("<II", self.data, pos)
+            for pos in range(ad_off, min(ad_off + l_ad, len(self.data) - 7), width):
+                elen = self._u32(self.data, pos)
+                eblock = self._u32(self.data, pos + 4)
+                if elen is None or eblock is None:
+                    break
                 elen &= 0x3FFFFFFF
                 if elen == 0:
                     break
@@ -263,8 +284,16 @@ class IsoReader:
                 return
             part_start, root_block = root
             dirs: List[Tuple[str, int]] = [("/", root_block)]
+            # visited-ICB set: a crafted/corrupt image whose directory FID
+            # points back at an already-walked directory block (every tag
+            # checksum can still verify) must terminate, not hang the
+            # extract executor on an adversarial sample
+            seen_dirs = set()
             while dirs:
                 dirname, block = dirs.pop()
+                if block in seen_dirs:
+                    continue
+                seen_dirs.add(block)
                 fe = self._udf_file_entry(part_start, block)
                 if fe is None or fe[0] != 4:       # not a directory ICB
                     continue
@@ -611,7 +640,11 @@ def build_udf_bridge(files: Dict[str, bytes],
         short_ad = struct.pack("<II", len(payload), data_block)
         part_blocks.append(_udf_file_entry_desc(
             part_start + fe_block, 5, 0, len(payload), short_ad))
-        part_blocks.append(pad_sector(payload))
+        # pad to the exact sector count the placements reserved — an
+        # empty payload still occupies its one reserved sector, else
+        # every later block lands one sector before its recorded address
+        n_sectors = max(1, (len(payload) + SECTOR - 1) // SECTOR)
+        part_blocks.append(payload + b"\x00" * (n_sectors * SECTOR - len(payload)))
 
     # ---- assemble
     image = bytearray(b"\x00" * (16 * SECTOR))

@@ -230,6 +230,22 @@ SQL_DEDUP_MINHASH_LSH = _sql_dedup_minhash_lsh()
 _CLUSTER_MAX_ITERS = 32
 
 
+def _free_labels(labels) -> None:
+    """Release a finished round's stored labels.  ``unpersist()`` frees
+    cache-manager entries but is a NO-OP for localCheckpointed frames
+    (their blocks live outside the cache manager), so for those we reach
+    the LogicalRDD's backing RDD and unpersist it directly; best-effort —
+    on any internal-API mismatch the ContextCleaner reclaims the blocks
+    once the reference drops."""
+    labels.unpersist()
+    try:
+        plan = labels._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
     from pyspark.storagelevel import StorageLevel
 
@@ -267,7 +283,7 @@ def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         cur = new_labels.agg(label_sum).collect()[0]["s"]
-        labels.unpersist()
+        _free_labels(labels)
         labels = new_labels
         if cur == prev:
             break
@@ -392,7 +408,12 @@ def q_curate_corpus(spark, sf_dir, labels=None):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    toks = F.expr(r"""filter(split(text, '\\s+'), x -> x != '')""")
+    # the ONE whitespace-tokenizer literal (ops/textops.py) — re-typing
+    # the escaped SQL string here is how the Spark/DuckDB token counts
+    # silently diverge (CLAUDE.md backslash rule)
+    from kgmwcp.ops.textops import _TOKENS
+
+    toks = F.expr(_TOKENS)
     n_tokens = F.size(toks)
     punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
     passes_quality = (

@@ -256,8 +256,10 @@ def render_report(report: dict, fmt: str = "text") -> str:
     ek = report.get("external_knowledge") or {}
     if ek:
         out.append(_h2("External Knowledge", fmt))
+        # keys are user-supplied too — escape them like every other cell
         out.append(_table(
-            sorted([k, _format_cell(v, fmt)] for k, v in ek.items()),
+            sorted([_format_cell(k, fmt), _format_cell(v, fmt)]
+                   for k, v in ek.items()),
             ["Field", "Value"], fmt))
 
     by_class: Dict[str, List[dict]] = {}

@@ -205,3 +205,16 @@ def test_cli_schema_flag(capsys):
     printed = json.loads(capsys.readouterr().out)
     assert printed["properties"]["type"]["const"] == "report"
     assert "url" in printed["$defs"]
+
+
+def test_render_html_escapes_external_knowledge_keys():
+    """User-supplied knowledge-base KEYS are table cells too — they must
+    escape like every other cell (code-review finding)."""
+    from kgmwcp.render import render_report
+
+    report = {"input_file": {"name": "x"}, "parser": None,
+              "external_knowledge": {"<img src=x onerror=y>": "v"},
+              "errors": [], "logs": [], "metadata": []}
+    html_out = render_report(report, "html")
+    assert "<img" not in html_out
+    assert "&lt;img src=x onerror=y&gt;" in html_out

@@ -658,6 +658,41 @@ class TestISO:
         got = {n: d for _, n, d in iso9660.IsoReader(image).walk("udf")}
         assert got == {"big.bin": big}
 
+    def test_udf_cycle_and_truncation_safe(self):
+        import struct as _struct
+
+        from kgmwcp.engine import iso9660
+
+        image = bytearray(iso9660.build_udf_bridge({"a.txt": b"payload"}))
+        # craft a cycle: append a FID to the root directory's inline FIDs
+        # pointing BACK at the root dir ICB (block 1) with the dir bit set
+        reader = iso9660.IsoReader(bytes(image))
+        part_start, root_block = reader._udf_root()
+        cyc = iso9660._udf_fid("loop", 0x02, root_block, part_start + 1)
+        fe_off = (part_start + root_block) * iso9660.SECTOR
+        l_ad = _struct.unpack_from("<I", image, fe_off + 172)[0]
+        image[fe_off + 176 + l_ad:fe_off + 176 + l_ad + len(cyc)] = cyc
+        _struct.pack_into("<I", image, fe_off + 172, l_ad + len(cyc))
+        looped = iso9660.IsoReader(bytes(image))
+        # must terminate (visited set) and still yield the real file
+        names = [n for _, n, _ in looped.walk("udf")]
+        assert names == ["a.txt"]
+
+        # truncation anywhere must degrade to fewer results, never raise
+        base = iso9660.build_udf_bridge({"a.txt": b"payload"})
+        for cut in (257 * 2048, 260 * 2048 + 100, len(base) - 1000):
+            r = iso9660.IsoReader(base[:cut])
+            assert isinstance(list(r.walk("udf")), list)
+
+    def test_udf_empty_payload_alignment(self):
+        from kgmwcp.engine import iso9660
+
+        # an empty file must still occupy its reserved sector, or every
+        # later file's recorded block addresses shift by one
+        image = iso9660.build_udf_bridge({"empty.txt": b"", "a.txt": b"x" * 10})
+        got = {n: d for _, n, d in iso9660.IsoReader(image).walk("udf")}
+        assert got == {"empty.txt": b"", "a.txt": b"x" * 10}
+
     def test_identical_name_views_dedupe(self):
         from kgmwcp.engine import iso9660
 
