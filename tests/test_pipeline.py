@@ -522,3 +522,29 @@ def test_include_file_data_in_reports(spark, corpus):
         F.col("root_sha256") == foo_sha).collect()[0]["report_json"])
     entry2 = next(e for e in report2["metadata"] if e["type"] == "file")
     assert entry2["data"] is None
+
+
+def test_outputs_deterministic_across_partitionings(spark):
+    """The determinism claim behind uuid5 ids and min-provenance picks:
+    report_json and bundle_json are byte-identical when the same corpus
+    runs under different shuffle widths and bucket counts."""
+    corpus = fixtures.corpus_df(spark, replication=1, hot_rows=2)
+
+    def snapshot(n_buckets, shuffle):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            tabs = Pipeline(PipelineConfig(
+                n_buckets=n_buckets,
+                knowledge_base={"secret": "hello"})).run(corpus)
+            reports = sorted((r["root_sha256"], r["report_json"])
+                             for r in tabs["reports"].collect())
+            stix = sorted((r["root_sha256"], r["bundle_json"])
+                          for r in tabs["stix"].collect())
+            return reports, stix
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    a = snapshot(n_buckets=8, shuffle=3)
+    b = snapshot(n_buckets=16, shuffle=13)
+    assert a == b
