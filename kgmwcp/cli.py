@@ -39,7 +39,16 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(
         prog="kgmwcp", description="PySpark KG-construction pipeline (MWCP semantics)")
     parser.add_argument("--input", required=True,
-                        help="parquet path of documents(repo,path,commit,lang,content[,route])")
+                        help="documents(repo,path,commit,lang,content[,route]): "
+                             "a parquet path, or an Iceberg table/path with "
+                             "--input-format iceberg")
+    parser.add_argument("--input-format", default="parquet",
+                        choices=["parquet", "iceberg"],
+                        help="source format; 'iceberg' loads via "
+                             "spark.read.format('iceberg') (requires the "
+                             "Iceberg runtime on the cluster — partition "
+                             "pruning and snapshots ride the same "
+                             "DataFrame code)")
     parser.add_argument("--output", required=True, help="output directory for KG tables")
     parser.add_argument("--master", default=None, help="spark master (default: local[*])")
     parser.add_argument("--buckets", type=int, default=256,
@@ -115,7 +124,9 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     import pathlib as _pathlib
     import sys as _sys
 
-    if not _pathlib.Path(args.input).exists():
+    if args.input_format == "parquet" and not _pathlib.Path(args.input).exists():
+        # iceberg inputs are catalog identifiers/paths resolved by the
+        # runtime, not local filesystem paths
         print(f"error: input path does not exist: {args.input}", file=_sys.stderr)
         raise SystemExit(1)
     if args.parser:
@@ -136,7 +147,10 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
 
             tables = run_available_now(spark, args.input, args.output, config)
         else:
-            docs = spark.read.parquet(args.input)
+            if args.input_format == "iceberg":
+                docs = spark.read.format("iceberg").load(args.input)
+            else:
+                docs = spark.read.parquet(args.input)
             if args.parser:
                 from pyspark.sql import functions as F
 
