@@ -94,13 +94,15 @@ class ReportContext:
     def dispatch(self, child: SampleFile) -> None:
         self._engine._enqueue(child, parent=self._current)
 
-    def _log(self, level_char: str, message: str) -> None:
-        source = self._current.sha256 if self._current is not None else None
+    def _log(self, level_char: str, message: str,
+             source_file=None) -> None:
+        src = source_file if source_file is not None else self._current
+        source = src.sha256 if src is not None else None
         self.logs.append((source, level_char, message))
 
-    def log_error(self, message: str) -> None:
+    def log_error(self, message: str, source_file=None) -> None:
         self.errors.append(message)
-        self._log("E", message)
+        self._log("E", message, source_file=source_file)
 
     def log_warning(self, message: str) -> None:
         self._log("W", message)
@@ -225,6 +227,7 @@ class ExtractionEngine:
         orig_description = f.description
         orig_tags = set(f.tags)
         orig_rule = f.rule
+        orig_rule_group = f.rule_group
         if not f.description:
             f.description = rule.DESCRIPTION
         for tag in rule.TAGS:
@@ -239,6 +242,7 @@ class ExtractionEngine:
             f.description = orig_description
             f.tags = orig_tags
             f.rule = orig_rule
+            f.rule_group = orig_rule_group
             self._identify_cache[(rule.name(), f.md5)] = False
             return False
         except Exception as exc:  # parser bug: swallow into errors (dispatcher.py:254-255)
@@ -260,13 +264,28 @@ class ExtractionEngine:
         while self._queue and len(processed) < MAX_FILES_PER_ROOT:
             f = self._queue.pop()
             if f.depth > MAX_DEPTH:
-                ctx.log_error(f"max recursion depth exceeded at {f.name}")
+                # attribute to the offending file, not whatever file the
+                # previous parse left as _current
+                ctx.log_error(f"max recursion depth exceeded at {f.name}",
+                              source_file=f)
                 continue
             processed.append(f)
 
             identified = False
             for group, rule in self._candidate_rules(f, route, route_scope):
-                ok, run_args = self._identify(rule, f)
+                try:
+                    ok, run_args = self._identify(rule, f)
+                except Exception as exc:
+                    # DEVIATION from the reference (dispatcher.py:188 is
+                    # unguarded): there a crashing identify() fails one
+                    # CLI run; here it would fail the Spark task and —
+                    # after retries — the whole distributed job over one
+                    # malformed blob. Log + treat as unidentified;
+                    # negative-cached (identify is pure over the bytes).
+                    ctx.log_error(f"{rule.name()} identify failed: {exc}",
+                                  source_file=f)
+                    self._identify_cache[(rule.name(), f.md5)] = False
+                    continue
                 if not ok:
                     continue
                 if self._try_parse(f, group, rule, ctx, run_args):
@@ -295,6 +314,14 @@ class ExtractionEngine:
                 )
                 file_elem.add_tag(*sorted(f.tags))  # File.from_file_object parity
                 ctx.add(file_elem, source=f.parent)
+
+        if self._queue:
+            # like the depth guard, truncation must be visible: a report
+            # with errors=[] must mean a complete extraction
+            ctx.log_error(
+                f"max files per root exceeded: {len(self._queue)} queued "
+                f"files dropped")
+            self._queue.clear()
 
         triples = list(ctx.iter_triples())
         return ExtractionResult(root=root, triples=triples, files=processed,

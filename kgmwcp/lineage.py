@@ -35,8 +35,15 @@ def read_manifest(out_dir: str) -> list:
     with path.open() as fh:
         for line in fh:
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            try:
                 entries.append(json.loads(line))
+            except json.JSONDecodeError:
+                # torn trailing line from a crash mid-write (the exact
+                # window fail_after_buckets simulates): skip it — the
+                # bucket simply isn't committed and re-runs idempotently
+                continue
     return entries
 
 

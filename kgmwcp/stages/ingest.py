@@ -23,9 +23,13 @@ def prepare_samples(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
     """documents(repo,path,commit,lang,content[,route]) -> samples."""
     if ROUTE_COLUMN not in docs.columns:
         docs = docs.withColumn(ROUTE_COLUMN, F.lit(None).cast("string"))
-    content_bin = (
+    content_bin = F.coalesce(
+        # NULL content (or un-decodable base64) must not poison identity:
+        # a null sha256/bucket row would crash the manifest commit and
+        # could never be marked done, re-running forever on resume
         F.when(F.col("lang") == "binary-b64", F.unbase64(F.col("content")))
-        .otherwise(F.encode(F.col("content"), "utf-8"))
+        .otherwise(F.encode(F.col("content"), "utf-8")),
+        F.lit(b""),
     )
     samples = (
         docs

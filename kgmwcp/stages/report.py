@@ -25,12 +25,12 @@ __all__ = ["reports_of"]
 
 
 def _json_bytes(obj):
-    """bytes knowledge-base values serialize as base64 (canonical.py rule)."""
-    import base64
+    """Non-JSON knowledge-base values: the canonical serialization rule
+    (canonical.py _jsonable: bytes -> base64), str() as last resort."""
+    from kgmwcp.canonical import _jsonable
 
-    if isinstance(obj, (bytes, bytearray)):
-        return base64.b64encode(bytes(obj)).decode("ascii")
-    return str(obj)
+    out = _jsonable(bytes(obj) if isinstance(obj, bytearray) else obj)
+    return out if out is not obj else str(obj)
 
 
 def reports_of(records: DataFrame, parser: str | None = None,
@@ -63,14 +63,19 @@ def reports_of(records: DataFrame, parser: str | None = None,
                 F.translate(F.base64("file_data"), "\r\n", "").alias("_b64"))
             .dropDuplicates(["_fsha"])
         )
-        mentions = (
-            mentions
+        # join ONLY the file mentions (joining all mentions would
+        # shuffle the whole set with every non-file row on a null key —
+        # one hot partition); the untouched remainder unions back
+        file_m = mentions.filter(F.col("pred") == "file")
+        rest = mentions.filter(F.col("pred") != "file")
+        patched = (
+            file_m
             .withColumn("_fsha", F.get_json_object("obj", "$.sha256"))
             .join(payloads, "_fsha", "left")
             .withColumn(
                 "obj",
                 F.when(
-                    (F.col("pred") == "file") & F.col("_b64").isNotNull(),
+                    F.col("_b64").isNotNull(),
                     F.regexp_replace(
                         "obj", '"data":null',
                         F.concat(F.lit('"data":"'), F.col("_b64"),
@@ -79,6 +84,7 @@ def reports_of(records: DataFrame, parser: str | None = None,
             )
             .drop("_fsha", "_b64")
         )
+        mentions = rest.unionByName(patched)
     # '{"a":1}' -> '{"type":"<pred>","a":1}'
     entry = F.concat(
         F.lit('{"type":"'), F.col("pred"), F.lit('",'),
@@ -96,15 +102,29 @@ def reports_of(records: DataFrame, parser: str | None = None,
     # reference compares reports order-insensitively anyway.  One pass:
     # conditional collect_lists (they skip nulls) instead of two filtered
     # groupBys + two joins.
-    logs_errors = (
+    # identical content under N (repo,path,commit) rows runs the engine
+    # N times, emitting N identical log sets: keep ONE run's logs — the
+    # min-provenance row, the same pick the input_file block makes — so
+    # report content is independent of how many provenance copies exist
+    # (within-run duplicate messages are preserved, unlike a blanket
+    # collect_set dedupe)
+    per_prov = (
         records.filter(F.col("kind").isin("log", "error"))
-        .groupBy("root_sha256")
+        .groupBy("root_sha256", "repo", "path", "commit")
         .agg(
             F.array_sort(F.collect_list(
                 F.when(F.col("kind") == "log", F.col("error")))).alias("logs"),
             F.array_sort(F.collect_list(
                 F.when(F.col("kind") == "error", F.col("error")))).alias("errors"),
         )
+    )
+    logs_errors = (
+        per_prov.groupBy("root_sha256")
+        .agg(F.min(F.struct("repo", "path", "commit",
+                            "logs", "errors")).alias("sel"))
+        .select("root_sha256",
+                F.col("sel.logs").alias("logs"),
+                F.col("sel.errors").alias("errors"))
     )
     # identical content can arrive under several (repo, path, commit) rows;
     # pick provenance deterministically (min over the provenance struct)
@@ -156,13 +176,16 @@ def reports_of(records: DataFrame, parser: str | None = None,
         ),
         {"ignoreNullFields": "false"},
     )
+    # to_json handles escaping — a parser string with quotes or
+    # backslashes must not corrupt the document
+    parser_json = F.to_json(
+        F.struct(F.coalesce(F.lit(parser), F.col("parser")).alias("parser")),
+        {"ignoreNullFields": "false"},
+    )
     report_json = F.concat(
         F.lit('{"type":"report","input_file":'), input_file,
-        F.lit(',"parser":'),
-        F.coalesce(
-            F.concat(F.lit('"'), F.coalesce(F.lit(parser), F.col("parser")), F.lit('"')),
-            F.lit("null"),
-        ),
+        F.lit(","),
+        parser_json.substr(F.lit(2), F.length(parser_json) - 2),
         F.lit(',"recursive":true,"external_knowledge":'),
         F.lit(_json.dumps(external_knowledge or {}, sort_keys=True,
                           separators=(",", ":"), default=_json_bytes)),

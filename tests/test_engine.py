@@ -973,3 +973,49 @@ class TestMediaCodecs:
                 wav["duration_ms"]) == ("audio/wav", 8000, 5)
         with _pytest.raises(NotImplementedError):
             decode_real(b"\x89PNG\r\n\x1a\n not a codec we ship")
+
+
+class TestDispatcherRobustness:
+    def test_identify_crash_contained(self):
+        """A crashing identify() must not escape run() (it would fail the
+        whole Spark task) — deviation from the reference's unguarded
+        call, logged as an error instead."""
+        from kgmwcp.engine.dispatcher import ExtractionEngine
+        from kgmwcp.engine.parsers import Rule
+
+        class Bomb(Rule):
+            DESCRIPTION = "Bomb"
+
+            @classmethod
+            def identify(cls, f):
+                raise ValueError("boom")
+
+            def run(self, f, ctx):  # pragma: no cover
+                raise AssertionError
+
+        eng = ExtractionEngine()
+        eng.groups = dict(eng.groups)
+        first = eng.group_order[0]
+        eng.groups[first] = [Bomb] + list(eng.groups[first])
+        result = eng.run(b"plain text", name="x.txt")
+        assert any("Bomb identify failed: boom" in e for e in result.errors)
+        # extraction still completed: the root got its fallback identity
+        assert result.files[0].description == "Unidentified file"
+
+    def test_max_files_truncation_is_logged(self):
+        from kgmwcp.engine import dispatcher as disp
+        from kgmwcp.engine.dispatcher import ExtractionEngine
+
+        inner = b"PK\x03\x04"  # irrelevant; we drive the queue directly
+        eng = ExtractionEngine()
+        old = disp.MAX_FILES_PER_ROOT
+        disp.MAX_FILES_PER_ROOT = 2
+        try:
+            from kgmwcp import fixtures
+            # zip with 3 members -> root + 3 children > 2 processed
+            payload = fixtures._zip_payload(b"m1", 0)
+            result = eng.run(payload, name="a.zip")
+            assert any("max files per root exceeded" in e
+                       for e in result.errors)
+        finally:
+            disp.MAX_FILES_PER_ROOT = old

@@ -60,3 +60,14 @@ def test_no_duplicate_records_after_resume(spark, corpus, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_torn_manifest_line_skipped(tmp_path):
+    """A crash mid-manifest-write leaves a truncated trailing line; the
+    resume path must skip it (the bucket just re-runs) instead of
+    crashing every subsequent resume."""
+    from kgmwcp import lineage
+
+    p = tmp_path / "manifest.jsonl"
+    p.write_text('{"bucket": 3, "status": "done"}\n{"bucket": 7, "n_ro')
+    assert lineage.completed_buckets(str(tmp_path)) == {3}

@@ -548,3 +548,55 @@ def test_outputs_deterministic_across_partitionings(spark):
     a = snapshot(n_buckets=8, shuffle=3)
     b = snapshot(n_buckets=16, shuffle=13)
     assert a == b
+
+
+def test_null_content_row_is_processed_once(spark, tmp_path):
+    """A NULL content document must not poison identity: it hashes as an
+    empty payload, gets a bucket, commits, and does not re-run forever."""
+    docs = spark.createDataFrame(
+        [("r0", "n/null.bin", "c0", "text", None, None),
+         ("r0", "n/ok.txt", "c0", "text", "hello", None)],
+        "repo string, path string, commit string, lang string, "
+        "content string, route string")
+    out = str(tmp_path / "kg")
+    pipe = Pipeline(PipelineConfig(n_buckets=4))
+    tabs = pipe.run_checkpointed(spark, docs, out)
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    roots = {r["sha256"] for r in tabs["files"]
+             .filter(F.col("depth") == 0).collect()}
+    assert empty_sha in roots
+    # resume: nothing left to do, identical results
+    tabs2 = Pipeline(PipelineConfig(n_buckets=4)).run_checkpointed(
+        spark, docs, out)
+    assert tabs2["records"].count() == tabs["records"].count()
+
+
+def test_report_logs_single_provenance_run(spark):
+    """Identical content under N provenance rows runs the engine N times;
+    the report keeps ONE run's logs (min provenance — the same pick the
+    input_file block makes), so report content doesn't depend on copy
+    count (code-review finding)."""
+    docs = spark.createDataFrame(
+        [("r0", "a/one.txt", "c0", "text", fixtures.FOO_TEXT, "foo"),
+         ("r1", "b/two.txt", "c1", "text", fixtures.FOO_TEXT, "foo")],
+        "repo string, path string, commit string, lang string, "
+        "content string, route string")
+    tabs = Pipeline(PipelineConfig(
+        n_buckets=4, knowledge_base={"secret": "hello"})).run(docs)
+    report = json.loads(tabs["reports"].collect()[0]["report_json"])
+    ops = [l for l in report["logs"]
+           if l.startswith("[I] operating on inputfile")]
+    assert ops == ["[I] operating on inputfile one.txt"]
+
+
+def test_report_parser_name_json_escaped(spark):
+    """A caller-supplied parser name with quotes/backslashes must not
+    corrupt report_json (the one formerly-unescaped splice)."""
+    from kgmwcp.stages.report import reports_of
+
+    docs = fixtures.corpus_df(spark, replication=1, hot_rows=1)
+    records = Pipeline(PipelineConfig(n_buckets=4)).records(docs)
+    hostile = 'acme "v2" \\ test'
+    row = reports_of(records, parser=hostile).limit(1).collect()[0]
+    report = json.loads(row["report_json"])   # must parse
+    assert report["parser"] == hostile
