@@ -15,6 +15,11 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# explicit whitespace class (see ops/textops.py WS_RE: Java \s and RE2
+# \s disagree on \x0B — twins must tokenize identically)
+_WS_RE = r"[ \t\n\x0B\f\r]+"
+
+
 # -- exact dedup (hash-groupBy) ------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -49,7 +54,7 @@ def _shingles_exploded(docs):
     toks = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+            F.posexplode(F.split(F.lower("text"), _WS_RE)).alias("pos", "tok"),
         )
         .filter(F.col("tok") != "")
     )
@@ -69,7 +74,7 @@ def _shingles_exploded(docs):
 _SQL_SHINGLES_CTE = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
   FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -339,7 +344,7 @@ def q_dedup_substring_spans(spark, sf_dir):
     toks = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+            F.posexplode(F.split(F.lower("text"), _WS_RE)).alias("pos", "tok"),
         )
         .filter(F.col("tok") != "")
     )
@@ -370,7 +375,7 @@ def q_dedup_substring_spans(spark, sf_dir):
 SQL_DEDUP_SUBSTRING_SPANS = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
   FROM documents
 ), exploded_spans AS (
   SELECT doc_id,
@@ -411,11 +416,11 @@ def q_curate_corpus(spark, sf_dir, labels=None):
     # the ONE whitespace-tokenizer literal (ops/textops.py) — re-typing
     # the escaped SQL string here is how the Spark/DuckDB token counts
     # silently diverge (CLAUDE.md backslash rule)
-    from kgmwcp.ops.textops import _TOKENS
+    from kgmwcp.ops.textops import _ws_tokens
 
-    toks = F.expr(_TOKENS)
+    toks = _ws_tokens()
     n_tokens = F.size(toks)
-    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\x0B\f\r]"))
     passes_quality = (
         (F.length("text") >= 40) & (n_tokens >= 8)
         & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.2)
@@ -476,11 +481,11 @@ def _sql_curate_corpus() -> str:
   SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
 ), scored AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
            AS n_tokens,
          (length(text) >= 40
-          AND len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 8
-          AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+          AND len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) >= 8
+          AND len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]'))
               / greatest(length(text), 1) < 0.2) AS passes_quality,
          CASE
            WHEN score_en = best AND best > 0 THEN 'en'
@@ -534,7 +539,8 @@ def q_dedup_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
-        F.explode(F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")).alias("token"),
+        F.explode(F.filter(F.split(F.lower("text"), _WS_RE),
+                           lambda x: x != "")).alias("token"),
     )
     h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "utf-8")), 1, 15), 16, 10).cast("long")
     hashed = toks.withColumn("h", h)
@@ -555,7 +561,7 @@ def q_dedup_simhash(spark, sf_dir):
 SQL_DEDUP_SIMHASH = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                 x -> x <> '')) AS token
   FROM documents
 ), hashed AS (

@@ -14,7 +14,15 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-_TOKENS = r"""filter(split(text, '\\s+'), x -> x != '')"""
+# Java regex \s includes \x0B (vertical tab); RE2 (DuckDB) \s does
+# NOT — every cross-engine regex spells whitespace explicitly so both
+# engines tokenize identically on all inputs.
+WS = r" \t\n\x0B\f\r"
+WS_RE = rf"[{WS}]+"
+
+
+def _ws_tokens(col: str = "text"):
+    return F.filter(F.split(col, WS_RE), lambda x: x != "")
 
 # -- BPE-ish subword token counting ---------------------------------------------
 # GPT-2-style pre-tokenizer regex, lookahead-free so it is valid in BOTH
@@ -22,13 +30,13 @@ _TOKENS = r"""filter(split(text, '\\s+'), x -> x != '')"""
 # letter runs, digit runs, punctuation runs.  Whitespace between matches
 # is simply not captured.  The regex rides in as a literal Column / an
 # escaped SQL literal (Spark SQL string literals eat backslashes).
-_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 
 
 def q_text_bpe_tokens(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
-    ws = F.expr(_TOKENS)
+    ws = _ws_tokens()
     return docs.select(
         "doc_id",
         F.size(bpe).alias("n_bpe_tokens"),
@@ -41,10 +49,10 @@ def q_text_bpe_tokens(spark, sf_dir):
 SQL_TEXT_BPE_TOKENS = r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{re}')) AS n_bpe_tokens,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+       len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
          AS n_ws_tokens,
        round(len(regexp_extract_all(text, '{re}'))
-             / greatest(len(list_filter(string_split_regex(text, '\s+'),
+             / greatest(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                                         x -> x <> '')), 1), 4)
          AS bpe_per_word
 FROM documents
@@ -55,7 +63,7 @@ FROM documents
 
 def q_text_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    toks = F.expr(_TOKENS)
+    toks = _ws_tokens()
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -74,7 +82,7 @@ SELECT doc_id,
          AS avg_token_len
 FROM (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
   FROM documents
 )
 """
@@ -135,10 +143,10 @@ FROM (
 
 def q_text_quality(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    toks = F.expr(_TOKENS)
+    toks = _ws_tokens()
     n_tokens = F.size(toks)
     stop = F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|and|of|to)\b"))
-    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9 \t\n\x0B\f\r]"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
@@ -163,9 +171,9 @@ SELECT doc_id,
         AND punct / greatest(length(text), 1) < 0.2) AS passes_quality
 FROM (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
          length(regexp_extract_all(lower(text), '\b(the|a|and|of|to)\b')) AS stop,
-         length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct
+         length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS punct
   FROM documents
 )
 """
@@ -175,7 +183,7 @@ FROM (
 
 def q_doc_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.col("text"), WS_RE, " "))
     fp = F.md5(F.encode(normalized, "utf-8"))
     return docs.select(
         "doc_id",
@@ -186,8 +194,8 @@ def q_doc_fingerprint(spark, sf_dir):
 
 SQL_DOC_FINGERPRINT = r"""
 SELECT doc_id,
-       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
-       substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 4) AS fp_bucket
+       md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint,
+       substr(md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 4) AS fp_bucket
 FROM documents
 """
 

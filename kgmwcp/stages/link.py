@@ -168,13 +168,21 @@ def nodes_of(records: DataFrame, salt_buckets: int = 16) -> DataFrame:
 def edges_of(records: DataFrame) -> DataFrame:
     """(sample)-[pred]->(entity) mention edges + (parent)-[dispatched]->(child)
     file-derivation edges (mwcp/dispatcher.py:160-170)."""
+    # min(repo) instead of dropDuplicates + carried repo: identical
+    # content in two repos yields equal (src, rel, dst) rows whose
+    # surviving repo would otherwise be partitioning-dependent —
+    # edges must be byte-deterministic like every other table
     ent = entities_of(records)
-    mention_edges = ent.select(
-        F.col("subj").alias("src"),
-        F.col("pred").alias("rel"),
-        F.col("entity_id").alias("dst"),
-        "repo",
-    ).dropDuplicates(["src", "rel", "dst"])
+    mention_edges = (
+        ent.select(
+            F.col("subj").alias("src"),
+            F.col("pred").alias("rel"),
+            F.col("entity_id").alias("dst"),
+            "repo",
+        )
+        .groupBy("src", "rel", "dst")
+        .agg(F.min("repo").alias("repo"))
+    )
     file_edges = (
         files_of(records)
         .filter(F.col("parent_sha256").isNotNull())
@@ -184,6 +192,7 @@ def edges_of(records: DataFrame) -> DataFrame:
             F.col("sha256").alias("dst"),
             "repo",
         )
-        .dropDuplicates(["src", "rel", "dst"])
+        .groupBy("src", "rel", "dst")
+        .agg(F.min("repo").alias("repo"))
     )
     return mention_edges.unionByName(file_edges)

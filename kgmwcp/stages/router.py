@@ -95,10 +95,22 @@ def _sig_quarantined(c: Column, path: Column) -> Column:
     return mcafee | defender | ahnlab | avast | qb
 
 
+def _eof_window_prefix(c: Column, back: int, magic: bytes) -> Column:
+    """Python's ``data[-back:][:len(magic)] == magic`` semantics: for
+    content shorter than ``back`` the slice clamps to the whole payload's
+    PREFIX, while Spark's ``substring(c, -back, n)`` returns empty/
+    truncated bytes — the engine twin (and the reference's slicing,
+    Python.py:36-66) clamps, so the Column must too."""
+    return F.when(
+        F.length(c) >= back,
+        F.substring(c, -back, len(magic)) == F.lit(magic),
+    ).otherwise(F.substring(c, 1, len(magic)) == F.lit(magic))
+
+
 def _sig_python(c: Column, path: Column) -> Column:
     return (
-        (F.substring(c, -24, len(_PYINSTALLER_MAGIC)) == F.lit(_PYINSTALLER_MAGIC))
-        | (F.substring(c, -88, len(_PYINSTALLER_MAGIC)) == F.lit(_PYINSTALLER_MAGIC))
+        _eof_window_prefix(c, 24, _PYINSTALLER_MAGIC)
+        | _eof_window_prefix(c, 88, _PYINSTALLER_MAGIC)
     )
 
 

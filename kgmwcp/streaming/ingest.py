@@ -75,5 +75,17 @@ def run_available_now(spark: SparkSession, source_dir: str, out_dir: str,
         .start()
     )
     query.awaitTermination()
-    all_records = spark.read.parquet(f"{out_dir}/records")
+    records_path = f"{out_dir}/records"
+    import pathlib
+
+    # a drain over an empty drop folder commits zero batches: the sink
+    # dir may be missing entirely or exist with zero part files (schema
+    # inference would fail) — the natural first call must return empty
+    # tables, not crash
+    from kgmwcp.schema import EXTRACT_SCHEMA
+
+    if pathlib.Path(records_path).exists():
+        all_records = spark.read.schema(EXTRACT_SCHEMA).parquet(records_path)
+    else:
+        all_records = spark.createDataFrame([], EXTRACT_SCHEMA)
     return Pipeline(config).tables_from_records(all_records)

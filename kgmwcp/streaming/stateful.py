@@ -93,9 +93,15 @@ def _first_seen_fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
     total = 0
     first_row = None
     for pdf in pdfs:
-        if first_row is None and len(pdf):
-            pdf = pdf.sort_values(["ts", "subj"])
-            first_row = pdf.iloc[0]
+        if len(pdf):
+            # a hot key spanning several Arrow chunks delivers them in
+            # unspecified order — the global min must consider EVERY
+            # chunk, not just the first non-empty one
+            cand = pdf.sort_values(["ts", "subj"]).iloc[0]
+            if first_row is None or (
+                    (cand["ts"], cand["subj"]) <
+                    (first_row["ts"], first_row["subj"])):
+                first_row = cand
         total += len(pdf)
     if state.exists:
         (seen,) = state.get
@@ -120,6 +126,9 @@ def first_seen_entities(mentions: DataFrame,
     """
     return (
         mentions
+        # parquet gives TIMESTAMP_NTZ; withWatermark requires TIMESTAMP
+        # (same cast the windowed sibling does)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy("entity_id")
         .applyInPandasWithState(

@@ -135,3 +135,29 @@ def test_curate_reuses_precomputed_labels(spark):
         assert fused == reused and len(fused) > 0
     finally:
         labels.unpersist()
+
+
+def test_ws_class_agrees_on_vertical_tab(spark, tmp_path):
+    """Java \\s includes \\x0B, RE2's does not — the explicit whitespace
+    class must make both engines tokenize identically on such text
+    (code-review finding)."""
+    import duckdb as _duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a\x0bb c word word word word word word", "en", "s", 36),
+         (2, "plain text with enough words to pass here", "en", "s", 41)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{sf}/documents.parquet/*.parquet'")
+    for name in ("text_quality", "text_token_count", "doc_fingerprint",
+                 "dedup_substring_spans"):
+        df = QUERIES[name](spark, sf)
+        spark_set, spark_cols = _rowset(
+            [tuple(r) for r in df.collect()], df.columns)
+        res = con.execute(ORACLES[name])
+        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
+        assert spark_set == duck_set, name

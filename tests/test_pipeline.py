@@ -600,3 +600,25 @@ def test_report_parser_name_json_escaped(spark):
     row = reports_of(records, parser=hostile).limit(1).collect()[0]
     report = json.loads(row["report_json"])   # must parse
     assert report["parser"] == hostile
+
+
+def test_router_pyinstaller_signature_clamps_short_content(spark):
+    """Spark substring(c,-24,8) returns b'' for content shorter than 24
+    bytes while python's data[-24:][:8] clamps to the prefix — the
+    Column signature must clamp identically (twin parity, code-review
+    finding)."""
+    import base64
+
+    from kgmwcp import goldens
+    from kgmwcp.stages.ingest import prepare_samples
+    from kgmwcp.stages.router import route_samples
+
+    magic = b"MEI\x0c\x0b\x0a\x0b\x0e"
+    docs = spark.createDataFrame(
+        [("r0", "p/short.bin", "c0", "binary-b64",
+          base64.b64encode(magic).decode(), None)],
+        "repo string, path string, commit string, lang string, "
+        "content string, route string")
+    routed = route_samples(prepare_samples(docs, n_buckets=4)).collect()[0]
+    assert goldens.signature_groups(magic, "p/short.bin") == ["Python"]
+    assert "Python" in routed["sig_matches"]

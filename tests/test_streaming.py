@@ -137,3 +137,43 @@ def test_streaming_with_router_matches_batch(spark, tmp_path):
     tables = run_available_now(spark, src, out, config)
     expected = _triples_set(Pipeline(config).run(corpus)["triples"])
     assert _triples_set(tables["triples"]) == expected
+
+
+def test_first_seen_fn_scans_all_chunks():
+    """The global first observation must consider EVERY Arrow chunk of a
+    hot key, not just the first non-empty one (code-review finding)."""
+    import pandas as pd
+
+    from kgmwcp.streaming.stateful import _first_seen_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    chunk1 = pd.DataFrame({"entity_id": ["e"] * 2,
+                           "subj": ["s9", "s8"],
+                           "ts": pd.to_datetime(["2020-01-02", "2020-01-03"])})
+    chunk2 = pd.DataFrame({"entity_id": ["e"],
+                           "subj": ["s1"],
+                           "ts": pd.to_datetime(["2020-01-01"])})
+    out = list(_first_seen_fn(("e",), [chunk1, chunk2], FakeState()))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["first_subj"] == "s1"          # earliest lives in chunk 2
+    assert row["n_mentions_batch"] == 3
+
+
+def test_available_now_empty_drop_folder(spark, tmp_path):
+    """The natural first call — draining an empty folder — must return
+    empty tables, not PATH_NOT_FOUND (code-review finding)."""
+    from kgmwcp.pipeline import PipelineConfig
+    from kgmwcp.streaming.ingest import run_available_now
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    tables = run_available_now(spark, str(src), str(tmp_path / "out"),
+                               PipelineConfig(n_buckets=4))
+    assert tables["triples"].count() == 0
+    assert tables["reports"].count() == 0
