@@ -187,7 +187,14 @@ class Socket(Element):
                  listen=None, c2: bool = False):
         super().__init__()
         self.address = address
-        self.port = int(port) if port is not None else None
+        try:
+            self.port = int(port) if port is not None else None
+        except (TypeError, ValueError):
+            # non-numeric port (e.g. a credentialed URL's 'pass@host'
+            # mis-split — the reference's TODO'd userinfo gap,
+            # metadata.py:1193): a plain ValueError would escape the
+            # validation-as-filter contract and abort the whole rule run
+            raise ValidationError(f"Invalid port: {port!r}")
         self.network_protocol = (
             str(network_protocol).lower() if network_protocol is not None else None
         )
@@ -249,7 +256,10 @@ class URL(Element):
         if address:
             address = address.rstrip(": ")
             if address.startswith("["):
-                # bracketed ipv6, e.g. [fe80::1]:80
+                # bracketed ipv6, e.g. [fe80::1]:80.  NOTE: a bracketed
+                # host with NO port keeps its trailing ']' — bug-for-bug
+                # with the reference's identical partition("]:") logic
+                # (metadata.py:1180-1184)
                 address, found, port = address[1:].partition("]:")
             else:
                 address, found, port = address.partition(":")
@@ -260,7 +270,14 @@ class URL(Element):
             if not port:
                 port = None
         if address or port:
-            self._socket = Socket(address=address or None, port=port)
+            try:
+                self._socket = Socket(address=address or None, port=port)
+            except ValidationError:
+                # deviation from the reference, which has no port
+                # converter and would carry a garbage string port (e.g.
+                # 'pass@evil.com' from a credentialed URL) into the
+                # report: keep the URL element, drop only the socket
+                self._socket = None
         if not self.path:
             self.path = path
         if not self.query:
@@ -459,6 +476,8 @@ class RSAPrivateKey(Element):
         self.q_inv_mod_p = q_inv_mod_p
 
 
+# deliberately UNANCHORED at the end — bug-for-bug with the reference's
+# _SHA1_RE.match (metadata.py:2737-2741): a 64-char sha256 hex passes
 _SHA1_RE = re.compile(r"[0-9a-fA-F]{40}")
 
 
@@ -606,9 +625,9 @@ class ScheduledTask(Element):
                 command = action.find("Command")
                 if command is None:
                     raise ValueError("Expected 'Command' tag.")
-                command = command.text
+                command = command.text or ""
                 arguments = action.find("Arguments")
-                if arguments is not None:
+                if arguments is not None and arguments.text:
                     command += " " + arguments.text
                 cwd_node = action.find("WorkingDirectory")
                 cwd = cwd_node.text if cwd_node is not None else None

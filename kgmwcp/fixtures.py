@@ -288,7 +288,9 @@ def corpus_rows(replication: int = 1, hot_rows: int = 8) -> List[Row]:
 
     def add(cls: str, i: int, path: str, lang: str, content: str,
             route: Optional[str] = None) -> None:
-        # 50% of rows in repo-000/repo-001, rest spread over 30 repos
+        # 50% of rows land in the single hot repo-000 (even ordinals),
+        # the rest spread over 15 odd-numbered repos — one-hot-repo
+        # skew, the shape the repartition-by-sha256 path must absorb
         ordinal = len(rows)
         if ordinal % 2 == 0:
             repo = f"repo-{ordinal % 2:03d}"

@@ -406,7 +406,9 @@ def canonical_value(pred: str, obj: str) -> Optional[str]:
                  if p is not None]
         value: Optional[str] = ":".join(parts)
     elif pred == "network":
-        value = _json_scalar(o.get("url", {}).get("url"))
+        # a url-less Network serializes "url":null — .get returns None,
+        # mirror the Spark twin's get_json_object NULL instead of crashing
+        value = _json_scalar((o.get("url") or {}).get("url"))
     elif pred in _VALUE_PATH:
         value = _json_scalar(o.get(_VALUE_PATH[pred]))
     else:
