@@ -251,11 +251,17 @@ def _free_labels(labels) -> None:
         pass
 
 
-def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
+def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
+                         max_iters: int = _CLUSTER_MAX_ITERS):
+    """Min-label propagation over an undirected pair graph.  Returns a
+    (doc_id, cluster_id) DataFrame with a ``kgmwcp_convergence`` attribute
+    ``{"converged": bool, "iterations": int}`` — at ``max_iters`` the loop
+    would otherwise exit SILENTLY without a fixpoint on a graph whose
+    diameter exceeds the budget (one-hop propagation needs ~diameter
+    rounds), and the caller deserves to know the labels are provisional.
+    Non-convergence is also logged at WARN."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -266,7 +272,9 @@ def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
     prev = labels.agg(label_sum).collect()[0]["s"]
-    for i in range(_CLUSTER_MAX_ITERS):
+    converged = False
+    iterations = 0
+    for i in range(max_iters):
         neighbor_min = (
             edges.join(labels, F.col("src") == F.col("doc_id"))
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -290,11 +298,29 @@ def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
         cur = new_labels.agg(label_sum).collect()[0]["s"]
         _free_labels(labels)
         labels = new_labels
+        iterations = i + 1
         if cur == prev:
+            converged = True
             break
         prev = cur
     edges.unpersist()
+    if not converged:
+        import logging
+
+        logging.getLogger("kgmwcp.dedup").warning(
+            "min-label propagation hit max_iters=%d without converging; "
+            "cluster labels are provisional (graph diameter > budget)",
+            max_iters,
+        )
+    labels.kgmwcp_convergence = {"converged": converged,
+                                 "iterations": iterations}
     return labels
+
+
+def q_dedup_cluster(spark, sf_dir, checkpoint_every: int = 8):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return propagate_min_labels(docs, pairs, checkpoint_every=checkpoint_every)
 
 
 def _sql_dedup_cluster() -> str:
@@ -335,6 +361,14 @@ SQL_DEDUP_CLUSTER = _sql_dedup_cluster()
 # ~n_tokens rows/doc and the aggregate is skew-free (md5 keys).
 
 _SPAN_TOKENS = 8
+# A license header present in millions of docs would otherwise produce ONE
+# fingerprint row carrying a multi-million-entry sorted id array — a
+# straggler reducer and an executor OOM at 100 TB.  n_docs stays EXACT
+# (the count aggregates fully); only the example-id list is bounded: a
+# per-fp window ranks ids (string order, matching the displayed sort) and
+# the collect gathers <= _SPAN_IDS_CAP of them, so no unbounded buffer
+# ever materializes.
+_SPAN_IDS_CAP = 16
 
 
 def q_dedup_substring_spans(spark, sf_dir):
@@ -360,13 +394,19 @@ def q_dedup_substring_spans(spark, sf_dir):
         .filter(F.col("_last").isNotNull())
         .select("doc_id", F.md5(F.encode("span", "utf-8")).alias("fp"))
         .dropDuplicates(["doc_id", "fp"])
+        .select("fp", F.col("doc_id").cast("string").alias("sid"))
     )
+    wfp = Window.partitionBy("fp").orderBy("sid")
+    ranked = spans.withColumn("rn", F.row_number().over(wfp))
     return (
-        spans.groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            # collect_list skips NULLs, so only the first K ranked ids
+            # accumulate; sorted because rank order == string order
             F.array_join(F.array_sort(F.collect_list(
-                F.col("doc_id").cast("string"))), ",").alias("doc_ids"),
+                F.when(F.col("rn") <= _SPAN_IDS_CAP, F.col("sid")))),
+                ",").alias("doc_ids"),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -386,11 +426,15 @@ WITH toks AS (
   FROM toks
 ), spans AS (
   SELECT DISTINCT doc_id, md5(s) AS fp FROM exploded_spans
+), ranked AS (
+  SELECT fp, CAST(doc_id AS VARCHAR) AS sid,
+         row_number() OVER (PARTITION BY fp ORDER BY CAST(doc_id AS VARCHAR)) AS rn
+  FROM spans
 )
 SELECT fp, count(*) AS n_docs,
-       array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids
-FROM spans GROUP BY fp HAVING count(*) >= 2
-""".format(w=_SPAN_TOKENS)
+       array_to_string(list_sort(list(sid) FILTER (WHERE rn <= {k})), ',') AS doc_ids
+FROM ranked GROUP BY fp HAVING count(*) >= 2
+""".format(w=_SPAN_TOKENS, k=_SPAN_IDS_CAP)
 
 
 # -- corpus curation (the end-to-end training-data pass) --------------------------
@@ -587,13 +631,30 @@ SELECT doc_id, ({bits})::BIGINT AS simhash FROM voted
 
 # -- n-gram Jaccard on LSH candidates ------------------------------------------------
 
+# Hot-bucket cap for the minsig blocking join, mirroring _BAND_CAP: a
+# boilerplate shingle that happens to be the min-md5 shingle of a million
+# docs (license headers — exactly what dedup_substring_spans exists to
+# find) would make that one `sig` bucket quadratic in the self-join.
+# Buckets larger than the cap are dropped before the join — the same
+# recall-for-boundedness trade the LSH band cap makes.
+_SIG_CAP = 64
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     exploded = _shingles_exploded(docs).dropDuplicates(["doc_id", "shingle"])
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # candidates: pairs sharing the min-md5 shingle (1-band minhash blocking)
     minsig = exploded.groupBy("doc_id").agg(
         F.min(F.md5(F.encode("shingle", "utf-8"))).alias("sig")
+    )
+    wsig = Window.partitionBy("sig")
+    minsig = (
+        minsig.withColumn("sc", F.count(F.lit(1)).over(wsig))
+        .filter(F.col("sc") <= _SIG_CAP)
+        .drop("sc")
     )
     cand = (
         minsig.alias("a").join(minsig.alias("b"), "sig")
@@ -625,15 +686,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return sized.filter(F.col("jaccard") >= 0.5)
 
 
-SQL_DEDUP_NGRAM_JACCARD = _SQL_SHINGLES_CTE + """
+SQL_DEDUP_NGRAM_JACCARD = (_SQL_SHINGLES_CTE + """
 , dedup_sh AS (
   SELECT doc_id, list_distinct(shingles) AS shingles FROM shingled
 ), exploded AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM dedup_sh
 ), sizes AS (
   SELECT doc_id, len(shingles) AS n_sh FROM dedup_sh
-), minsig AS (
+), minsig_raw AS (
   SELECT doc_id, min(md5(shingle)) AS sig FROM exploded GROUP BY doc_id
+), minsig AS (
+  SELECT doc_id, sig FROM (
+    SELECT doc_id, sig, count(*) OVER (PARTITION BY sig) AS sc
+    FROM minsig_raw
+  ) WHERE sc <= {cap}
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM minsig a JOIN minsig b USING (sig)
@@ -651,7 +717,7 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
-"""
+""").format(cap=_SIG_CAP)
 
 
 QUERIES = {

@@ -99,6 +99,78 @@ def test_dedup_cluster_checkpoint_parity(spark):
     assert len(base) > 0
 
 
+def test_hot_key_caps_bound_degenerate_fixtures(spark, tmp_path):
+    """One span/shingle shared by EVERY doc (the license-header scenario):
+    the minsig self-join must drop the over-cap sig bucket instead of
+    going quadratic, and the per-fingerprint id list must stay bounded at
+    _SPAN_IDS_CAP while n_docs stays exact.  Oracle parity holds on the
+    same degenerate fixture."""
+    import duckdb as _duckdb
+
+    from kgmwcp.ops import dedup as dd
+
+    n_docs = dd._SIG_CAP + 36  # 100 > both caps
+    text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [(i, text, "en", "s", len(text)) for i in range(1, n_docs + 1)]
+    # plus one small near-dup pair under the cap that must survive
+    pair_text = "unique pair shingle words one two three four five six"
+    rows += [(9001, pair_text, "en", "s", len(pair_text)),
+             (9002, pair_text, "en", "s", len(pair_text))]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    spans = dd.q_dedup_substring_spans(spark, sf).collect()
+    big = [r for r in spans if r["n_docs"] == n_docs]
+    assert big, "shared span not found"
+    for r in big:
+        assert len(r["doc_ids"].split(",")) == dd._SPAN_IDS_CAP
+
+    jac = dd.q_dedup_ngram_jaccard(spark, sf).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in jac}
+    # the 100-doc identical block's sig bucket (> _SIG_CAP) is dropped:
+    # no pair from it survives; the small under-cap pair does
+    assert all(a > 9000 for a, _ in pairs), "over-cap bucket leaked pairs"
+    assert (9001, 9002) in pairs
+
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet/*.parquet'")
+    for name in ("dedup_ngram_jaccard", "dedup_substring_spans"):
+        df = QUERIES[name](spark, sf)
+        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
+        res = con.execute(ORACLES[name])
+        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
+        assert spark_set == duck_set, name
+
+
+def test_cluster_convergence_flag(spark):
+    """A chain graph longer than the iteration budget must be reported as
+    NOT converged (one-hop min propagation needs ~diameter rounds); with
+    enough budget the same graph converges to a single cluster."""
+    from kgmwcp.ops.dedup import propagate_min_labels
+
+    n = 24
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long")
+
+    short = propagate_min_labels(docs, pairs, checkpoint_every=0, max_iters=3)
+    info = short.kgmwcp_convergence
+    assert info["converged"] is False and info["iterations"] == 3
+    short.unpersist()
+
+    full = propagate_min_labels(docs, pairs, checkpoint_every=4, max_iters=64)
+    info = full.kgmwcp_convergence
+    assert info["converged"] is True
+    labels = {r["doc_id"]: r["cluster_id"] for r in full.collect()}
+    assert set(labels.values()) == {1}
+    full.unpersist()
+
+
 def test_ivf_quantizer_reuse(spark):
     """train_ivf once -> two searches reuse the persisted centroid table:
     same results as the fused form, and the second search's plan reads the
