@@ -1,4 +1,6 @@
-"""Small crypto primitives — from scratch, no external crypto library.
+"""Small crypto primitives — from scratch; semantics defined by the
+pure-python code.  The system libcrypto is used only as a load-verified
+accelerator for Blowfish (see ``_load_openssl_bf``).
 
 RC4 here exists to invert quarantine-file obfuscation (a dead, publicly
 documented cipher used by AV quarantine formats); it is not offered as a
@@ -53,18 +55,92 @@ def _pi_boxes():
     return p, s
 
 
+def _load_openssl_bf():
+    """Optional ctypes binding to the system libcrypto's legacy Blowfish
+    (``BF_set_key`` / ``BF_ecb_encrypt`` — deprecated but still exported
+    by OpenSSL 3).  The pure-python implementation below DEFINES the
+    semantics; this is only an accelerator: SymantecSubSDK.identify now
+    trial-decrypts every candidate root (bug-for-bug with
+    Quarantined.py:146-166) and the pure-python key schedule costs
+    ~3.8 ms/file, which would dominate extract throughput.  The binding
+    is cross-verified against the pure implementation on a fixed vector
+    at load; any missing symbol, load error, or mismatch disables it.
+    """
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto")
+        if not name:
+            return None
+        lib = ctypes.CDLL(name)
+
+        class _BFKey(ctypes.Structure):
+            _fields_ = [("P", ctypes.c_uint32 * 18),
+                        ("S", ctypes.c_uint32 * 1024)]
+
+        set_key = lib.BF_set_key
+        set_key.argtypes = [ctypes.POINTER(_BFKey), ctypes.c_int,
+                            ctypes.c_char_p]
+        set_key.restype = None
+        ecb = lib.BF_ecb_encrypt
+        ecb.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                        ctypes.POINTER(_BFKey), ctypes.c_int]
+        ecb.restype = None
+
+        def schedule(key: bytes):
+            k = _BFKey()
+            set_key(ctypes.byref(k), len(key), key)
+            return k
+
+        def apply_blocks(k, data: bytes, enc: int) -> bytes:
+            out = bytearray()
+            buf = ctypes.create_string_buffer(8)
+            for off in range(0, len(data), 8):
+                ecb(data[off:off + 8], buf, ctypes.byref(k), enc)
+                out += buf.raw
+            return bytes(out)
+
+        # load-time verification against the from-scratch implementation
+        vkey, vdata = b"verify-vector-key", bytes(range(16))
+        pure = Blowfish(vkey, _pure=True)
+        k = schedule(vkey)
+        if (apply_blocks(k, vdata, 1) != pure.encrypt(vdata)
+                or apply_blocks(k, vdata, 0) != pure.decrypt(vdata)):
+            return None
+        return schedule, apply_blocks
+    except Exception:
+        return None
+
+
+_OPENSSL_BF = None  # resolved lazily on first Blowfish() construction
+_OPENSSL_BF_PROBED = False
+
+
 class Blowfish:
     """Blowfish ECB — 16-round Feistel with pi-derived boxes.
 
     Used solely to invert quarantine-container obfuscation
     (Quarantined.py:142-199); not offered as a security primitive.
+    A verified libcrypto fast path (``_load_openssl_bf``) is used when
+    available; pass ``_pure=True`` to force the from-scratch path.
     """
 
     BLOCK_SIZE = 8
 
-    def __init__(self, key: bytes):
+    def __init__(self, key: bytes, _pure: bool = False):
+        global _OPENSSL_BF, _OPENSSL_BF_PROBED
         if not 4 <= len(key) <= 56:
             raise ValueError("Blowfish key must be 4-56 bytes")
+        self._ossl = None
+        if not _pure:
+            if not _OPENSSL_BF_PROBED:
+                _OPENSSL_BF = _load_openssl_bf()
+                _OPENSSL_BF_PROBED = True
+            if _OPENSSL_BF is not None:
+                schedule, apply_blocks = _OPENSSL_BF
+                self._ossl = (schedule(key), apply_blocks)
+                return
         self.p, self.s = _pi_boxes()
         # key schedule: xor key words into P, then re-encrypt a zero block
         # through P and S
@@ -133,9 +209,19 @@ class Blowfish:
         return bytes(out)
 
     def encrypt(self, data: bytes) -> bytes:
+        if len(data) % 8:
+            raise ValueError("data must be a multiple of 8 bytes")
+        if self._ossl is not None:
+            k, apply_blocks = self._ossl
+            return apply_blocks(k, data, 1)
         return self._apply(data, self._encrypt_block)
 
     def decrypt(self, data: bytes) -> bytes:
+        if len(data) % 8:
+            raise ValueError("data must be a multiple of 8 bytes")
+        if self._ossl is not None:
+            k, apply_blocks = self._ossl
+            return apply_blocks(k, data, 0)
         return self._apply(data, self._decrypt_block)
 
 

@@ -397,15 +397,15 @@ class SymantecSubSDK(Rule):
 
     @classmethod
     def identify(cls, f):
+        # Always trial-decrypt, exactly like Quarantined.py:146-166 — an
+        # earlier printable-prefix fast path skipped the decrypt for
+        # plain-text prefixes, which could give a different answer than
+        # the reference on adversarial all-printable ciphertexts whose
+        # decrypted header matches a known file magic.  The (rule, md5)
+        # identify cache bounds the key-schedule cost to once per unique
+        # content, and per-chunk PKCS7 validation rejects ~97% of
+        # non-containers after two block decrypts.
         if f.parent is None and len(f.data) > 48:
-            # cheap gate before the (expensive, pure-python) Blowfish
-            # trial-decrypt: a real container's key+ciphertext prefix is
-            # effectively random bytes — an all-printable prefix means
-            # plain text, never an encrypted SubSDK header. (Performance
-            # gate on top of Quarantined.py:146-166; behavior-identical
-            # except for pathological all-printable ciphertexts.)
-            if _is_text(f.data[:48], threshold=0.0):
-                return False
             key = f.data[16:32]
             try:
                 header = cls._decode(f.data[32:48], key)

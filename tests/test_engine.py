@@ -717,6 +717,54 @@ class TestQuarantineSubSDK:
         assert files[0]["description"] == "PDF Document"
 
 
+    def test_all_printable_ciphertext_still_trial_decrypted(self):
+        """Bug-for-bug with Quarantined.py:146-166: identify must ALWAYS
+        trial-decrypt — an adversarial fully-printable 48-byte prefix
+        whose decrypted header matches a known magic is a SubSDK
+        container to the reference, so it must be one to us.  The
+        pinned prefix was brute-forced per ECB block (key chosen so
+        E(pad-block) is printable, then the free header-tail bytes so
+        E(header-block) is printable); decode of [32:48] yields
+        b'%PDF\\\\\\xab!\\x8e'."""
+        from kgmwcp.engine.parsers import SymantecSubSDK, _is_text
+
+        prefix = b"AAAAAAAAAAAAAAAATr3zBCjTdgdJir4PZ=+DWc?<R\r|64=s@"
+        assert _is_text(prefix, threshold=0.0)  # the old gate's condition
+        data = prefix + b" " * 32
+        f = SampleFile(data)
+        assert SymantecSubSDK.identify(f) is True
+        header = SymantecSubSDK._decode(data[32:48], data[16:32])
+        assert header.startswith(b"%PDF")
+
+    def test_openssl_fast_path_matches_pure_blowfish(self):
+        """The libcrypto accelerator must be byte-identical to the
+        from-scratch implementation (which defines the semantics) on
+        random keys/blocks in both directions; skipped-silently fallback
+        means this also passes when libcrypto lacks BF_* symbols."""
+        import random
+
+        from kgmwcp.engine.crypto import Blowfish
+
+        rng = random.Random(7)
+        for _ in range(20):
+            key = bytes(rng.randrange(256)
+                        for _ in range(rng.randrange(4, 57)))
+            data = bytes(rng.randrange(256)
+                         for _ in range(8 * rng.randrange(1, 5)))
+            fast, pure = Blowfish(key), Blowfish(key, _pure=True)
+            assert fast.encrypt(data) == pure.encrypt(data)
+            assert fast.decrypt(data) == pure.decrypt(data)
+            assert pure.decrypt(fast.encrypt(data)) == data
+
+    def test_plain_text_rejected_via_trial_decrypt(self):
+        # ordinary text: the trial decrypt itself rejects (bad PKCS7 or
+        # no magic), matching the reference's answer without a fast path
+        from kgmwcp.engine.parsers import SymantecSubSDK
+
+        f = SampleFile(b"just some ordinary source text " * 4)
+        assert SymantecSubSDK.identify(f) is False
+
+
 class TestGreedyMode:
     def test_greedy_runs_all_matching_rules(self):
         # a PDF-with-IOCs also matches Decoy.PDF; greedy mode runs both
