@@ -38,10 +38,10 @@ def package_pyfiles(out_path: str = "dist/kgmwcp.zip") -> str:
 def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(
         prog="kgmwcp", description="PySpark KG-construction pipeline (MWCP semantics)")
-    parser.add_argument("--input", required=True,
+    parser.add_argument("--input", default=None,
                         help="documents(repo,path,commit,lang,content[,route]): "
                              "a parquet path, or an Iceberg table/path with "
-                             "--input-format iceberg")
+                             "--input-format iceberg (required unless --schema)")
     parser.add_argument("--input-format", default="parquet",
                         choices=["parquet", "iceberg"],
                         help="source format; 'iceberg' loads via "
@@ -49,7 +49,9 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                              "Iceberg runtime on the cluster — partition "
                              "pruning and snapshots ride the same "
                              "DataFrame code)")
-    parser.add_argument("--output", required=True, help="output directory for KG tables")
+    parser.add_argument("--output", default=None,
+                        help="output directory for KG tables "
+                             "(required unless --schema)")
     parser.add_argument("--master", default=None, help="spark master (default: local[*])")
     parser.add_argument("--buckets", type=int, default=256,
                         help="lineage bucket count (stable across runs)")
@@ -75,7 +77,7 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                              "html files under <output>/reports_<format>/")
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
-                             "and exit (handled before --input is required)")
+                             "and exit (--input/--output not needed)")
     parser.add_argument("--greedy", action="store_true",
                         help="run every matching parser per file instead of "
                              "first-match (reference dispatcher greedy mode)")
@@ -92,15 +94,29 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
 
 
 def main(argv: Optional[list] = None, spark=None) -> dict:
-    import sys as _sys0
-
-    argv_list = argv if argv is not None else _sys0.argv[1:]
-    if "--schema" in argv_list:
+    # --schema is a real argparse flag (not an argv pre-scan, which
+    # would fire on any token equal to '--schema' — e.g. a mistyped
+    # option value — and silently skip the requested run): all other
+    # flags are still validated, then the schema branch exits early.
+    args = _parse_args(argv)
+    if args.schema:
         from kgmwcp.schema import report_json_schema
 
         print(json.dumps(report_json_schema(), indent=4))
         return {}
-    args = _parse_args(argv)
+    import sys as _sys0
+
+    if not args.input or not args.output:
+        print("error: --input and --output are required (unless --schema)",
+              file=_sys0.stderr)
+        raise SystemExit(2)
+    if args.streaming and args.input_format == "iceberg":
+        # the streaming source drains a parquet drop-folder; an iceberg
+        # catalog identifier would silently become a bogus local path
+        print("error: --streaming supports --input-format parquet only "
+              "(the streaming source drains a parquet drop-folder)",
+              file=_sys0.stderr)
+        raise SystemExit(2)
     if args.include_file_data:
         # genuinely implies --residuals (the help text's promise): the
         # residuals table + residual_files/ materialization come too

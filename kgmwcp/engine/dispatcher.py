@@ -318,9 +318,11 @@ class ExtractionEngine:
         if self._queue:
             # like the depth guard, truncation must be visible: a report
             # with errors=[] must mean a complete extraction
+            # attributed to the root (the truncation event), not whatever
+            # file the last parse left as _current
             ctx.log_error(
                 f"max files per root exceeded: {len(self._queue)} queued "
-                f"files dropped")
+                f"files dropped", source_file=root)
             self._queue.clear()
 
         triples = list(ctx.iter_triples())

@@ -207,6 +207,41 @@ def test_cli_schema_flag(capsys):
     assert "url" in printed["$defs"]
 
 
+def test_cli_schema_not_hijacked_as_option_value(capsys):
+    """'--schema' appearing as another option's (mistyped) value must NOT
+    print the schema and exit 0 — argparse rejects the malformed
+    invocation instead (ADVICE: the old raw argv pre-scan fired on any
+    token equal to '--schema')."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--parser", "--schema"])
+    assert exc.value.code == 2
+    assert capsys.readouterr().out == ""
+
+
+def test_cli_missing_input_output_rejected(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--input", "/tmp/x"])
+    assert exc.value.code == 2
+    assert "--output" in capsys.readouterr().err
+
+
+def test_cli_streaming_iceberg_rejected(capsys):
+    """--streaming drains a parquet drop-folder; an iceberg catalog
+    identifier must be rejected up front, not mistaken for a local
+    path (ADVICE item)."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--input", "db.tbl", "--output", "/tmp/out",
+              "--streaming", "--input-format", "iceberg"])
+    assert exc.value.code == 2
+    assert "parquet drop-folder" in capsys.readouterr().err
+
+
 def test_render_html_escapes_external_knowledge_keys():
     """User-supplied knowledge-base KEYS are table cells too — they must
     escape like every other cell (code-review finding)."""
