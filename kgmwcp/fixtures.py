@@ -527,3 +527,32 @@ def macho_fat_payload(variant: int = 0) -> bytes:
         out += b"\x00" * (off - len(out))
         out += blob
     return bytes(out)
+
+
+def clustered_embeddings_rows(n_clusters: int = 40, per_cluster: int = 25,
+                              dim: int = 64, noise: float = 0.15,
+                              seed: int = 20260817):
+    """Deterministic planted-near-dup embedding fixture: each cluster is a
+    random unit center, members are center + gaussian noise renormalized;
+    ``noise`` is the TOTAL expected noise norm (per-coordinate sigma is
+    noise/sqrt(dim)), so pairwise cos ~ 1/(1+noise^2) ~ 0.978 at the
+    default regardless of dim.  Labels are the cluster ids.  vec_id 0 belongs to cluster 0, so its brute-force top-k
+    are its cluster mates — the operating point where IVF (label cells)
+    and hyperplane LSH are supposed to work, unlike the driver's
+    near-random synthetic vectors (ann_recall_eval documents both).
+    Schema matches the driver's embeddings table
+    (vec_id long, embedding array<float>, label int)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vec_id = 0
+    for c in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + (noise / np.sqrt(dim)) * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vec_id, [float(x) for x in v.astype(np.float32)], c))
+            vec_id += 1
+    return rows

@@ -192,6 +192,39 @@ def test_ivf_quantizer_reuse(spark):
         cent.unpersist()
 
 
+def test_ann_recall_on_clustered_fixture(spark, tmp_path):
+    """The approximate paths at a REALISTIC operating point: on planted
+    near-dup clusters (pairwise cos ~0.978) the same code paths that
+    score 0.3/0.0 recall on the driver's near-random vectors must reach
+    recall@10 >= 0.8 — and stay oracle-green (DuckDB computes the same
+    approximation on the same fixture)."""
+    import duckdb as _duckdb
+
+    from kgmwcp import fixtures
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        fixtures.clustered_embeddings_rows(),
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    recalls = {r["method"]: float(r["recall"])
+               for r in QUERIES["ann_recall_eval"](spark, sf).collect()}
+    assert recalls["ivf"] >= 0.8, recalls
+    assert recalls["lsh"] >= 0.8, recalls
+
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * "
+                f"FROM '{sf}/embeddings.parquet/*.parquet'")
+    for name in ("ann_topk_bruteforce", "ann_ivf", "ann_lsh_bucketed",
+                 "ann_recall_eval"):
+        df = QUERIES[name](spark, sf)
+        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
+        res = con.execute(ORACLES[name])
+        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
+        assert spark_set == duck_set, name
+
+
 def test_curate_reuses_precomputed_labels(spark):
     """Production shape: cluster labels computed once and passed in give
     identical curation results to the fused (oracle) form."""
