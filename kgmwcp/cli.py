@@ -72,9 +72,12 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--stix", action="store_true",
                         help="also write STIX 2.1 bundles (one per root sample)")
     parser.add_argument("--format", dest="render_format", default=None,
-                        choices=["text", "md", "html"],
+                        choices=["text", "md", "html", "csv"],
                         help="also render per-root reports as text/markdown/"
-                             "html files under <output>/reports_<format>/")
+                             "html files under <output>/reports_<format>/; "
+                             "'csv' writes the reference's legacy long CSV "
+                             "(MD5, MetaIndex, Category, Field, Value) as "
+                             "<output>/reports_legacy.csv")
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (--input/--output not needed)")
@@ -203,7 +206,14 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
                  ).write_bytes(bytes(row["data"]))
                 n_written += 1
             summary["residual_files"] = n_written
-        if args.render_format:
+        if args.render_format == "csv":
+            from kgmwcp.render import write_legacy_csv
+
+            summary["reports_csv"] = write_legacy_csv(
+                spark.read.parquet(f"{args.output}/reports"),
+                f"{args.output}/reports_legacy.csv",
+            )
+        elif args.render_format:
             from kgmwcp.render import render_reports_df
 
             summary[f"reports_{args.render_format}"] = render_reports_df(

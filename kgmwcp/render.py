@@ -29,8 +29,11 @@ import json
 import textwrap
 from typing import Dict, List, Optional, Tuple
 
-__all__ = ["render_report", "render_reports_df", "FORMATS"]
+__all__ = ["render_report", "render_reports_df", "legacy_csv_rows",
+           "write_legacy_csv", "FORMATS"]
 
+# per-report markup formats; the legacy long CSV (write_legacy_csv) is a
+# separate single-file output wired as CLI --format csv
 FORMATS = ("text", "md", "html")
 
 _MAX_COL_WIDTH = 100
@@ -312,6 +315,109 @@ def render_report(report: dict, fmt: str = "text") -> str:
         out.append(_h2("Logs", fmt))
         out.append(_code_block("\n".join(report["logs"]), fmt))
     return "".join(out)
+
+
+def _flatten_legacy(payload: dict) -> Dict[str, object]:
+    """The reference's ``metadata._flatten_dict`` (metadata.py:142-169):
+    nested element dicts are inlined, child keys get a ``parent.`` prefix
+    ONLY when they collide with a key of the enclosing dict, nested tags
+    consolidate into the parent's ``tags``, and ``type`` discriminators
+    are dropped.  The parent's own ``tags`` is processed first (attrs
+    declaration order in the reference — with sorted-JSON payload order a
+    later plain ``tags`` key would clobber already-consolidated child
+    tags)."""
+    keys = (["tags"] if "tags" in payload else []) + [
+        k for k in payload if k != "tags"]
+    flat: Dict[str, object] = {}
+    for key in keys:
+        value = payload[key]
+        if isinstance(value, dict):
+            child = dict(value)
+            child.pop("type", None)
+            child_tags = child.pop("tags", None)
+            flat.update({
+                f"{key}.{k}" if k in payload else k: v
+                for k, v in _flatten_legacy(child).items()
+            })
+            if child_tags:
+                flat.setdefault("tags", [])
+                flat["tags"] = list(flat["tags"]) + list(child_tags)
+        else:
+            flat[key] = value
+    flat.pop("type", None)
+    return flat
+
+
+def legacy_csv_rows(report: dict) -> List[tuple]:
+    """One report document -> (MD5, MetaIndex, Category, Field, Value)
+    rows — the reference's legacy long CSV shape
+    (report_writers.py:43-89 DataFrameWriter): an Input File block at
+    MetaIndex 0, then one block per element with the title-cased class
+    name as Category, tags split into their own sorted rows, and
+    ``Other`` elements flattened so the key becomes the Field.  Values
+    are stringified (None stays null -> empty CSV cell), matching the
+    pandas-to-csv rendering of the reference.  Documented deviation
+    (same as render_report): element and field order follow the
+    canonical report document, not parser emission / attrs declaration
+    order."""
+    rows: List[tuple] = []
+    input_file = report.get("input_file") or {}
+    md5 = input_file.get("md5")
+
+    def emit(mi, category, field, value):
+        if isinstance(value, bool):
+            value = str(value)
+        elif value is not None and not isinstance(value, str):
+            value = str(value)
+        rows.append((md5, mi, category, field, value))
+
+    category = "Input File"
+    emit(0, category, "parser", report.get("parser"))
+    emit(0, category, "filename", input_file.get("name"))
+    emit(0, category, "description", input_file.get("description"))
+    emit(0, category, "architecture", input_file.get("architecture"))
+    emit(0, category, "compile_time", input_file.get("compile_time"))
+    emit(0, category, "derivation", input_file.get("derivation"))
+    for tag in input_file.get("tags") or []:
+        emit(0, category, "tag", tag)
+
+    for meta_index, element in enumerate(report.get("metadata", []), start=1):
+        cls = _CLASS_NAME.get(element.get("type"), element.get("type", ""))
+        category = _camel_case_to_title(cls)
+        flat = _flatten_legacy(element)
+        if category == "Other" and "key" in flat:
+            # report_writers.py:73-76 — the Other's key becomes the Field
+            flat[flat["key"]] = flat.pop("value", None)
+            del flat["key"]
+        for key, value in flat.items():
+            if key == "tags":
+                for tag in sorted(value or []):
+                    emit(meta_index, category, "tag", tag)
+            else:
+                emit(meta_index, category, key, value)
+    return rows
+
+
+def write_legacy_csv(reports, out_path: str) -> int:
+    """Stream every report (ordered by root_sha256 for determinism) into
+    one legacy-format CSV; returns the number of reports written.
+    Driver-side presentation output, same as render_reports_df."""
+    import csv
+    import pathlib
+
+    path = pathlib.Path(out_path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with open(path, "w", newline="") as fh:
+        writer = csv.writer(fh, lineterminator="\n")
+        writer.writerow(["MD5", "MetaIndex", "Category", "Field", "Value"])
+        it = (reports.select("root_sha256", "report_json")
+              .orderBy("root_sha256").toLocalIterator())
+        for row in it:
+            for out in legacy_csv_rows(json.loads(row["report_json"])):
+                writer.writerow(["" if v is None else v for v in out])
+            n += 1
+    return n
 
 
 def render_reports_df(reports, out_dir: str, fmt: str = "text",

@@ -147,6 +147,99 @@ def test_render_text_golden(spark):
     assert "&lt;script&gt;alert(1)&lt;/script&gt;" in rendered
 
 
+FOO_LEGACY_CSV = """\
+MD5,MetaIndex,Category,Field,Value
+736b19dc395cbae813df608f53d485f3,0,Input File,parser,Foo
+736b19dc395cbae813df608f53d485f3,0,Input File,filename,anything.txt
+736b19dc395cbae813df608f53d485f3,0,Input File,description,Foo
+736b19dc395cbae813df608f53d485f3,0,Input File,architecture,
+736b19dc395cbae813df608f53d485f3,0,Input File,compile_time,
+736b19dc395cbae813df608f53d485f3,0,Input File,derivation,
+736b19dc395cbae813df608f53d485f3,1,File,architecture,
+736b19dc395cbae813df608f53d485f3,1,File,compile_time,
+736b19dc395cbae813df608f53d485f3,1,File,data,
+736b19dc395cbae813df608f53d485f3,1,File,derivation,extracted and decompressed
+736b19dc395cbae813df608f53d485f3,1,File,description,example output file
+736b19dc395cbae813df608f53d485f3,1,File,file_path,
+736b19dc395cbae813df608f53d485f3,1,File,md5,5eb63bbbe01eeed093cb22bb8f5acdc3
+736b19dc395cbae813df608f53d485f3,1,File,name,fooconfigtest.txt
+736b19dc395cbae813df608f53d485f3,1,File,sha1,2aae6c35c94fcfb415dbe95f408b9ce91ee846ed
+736b19dc395cbae813df608f53d485f3,1,File,sha256,b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9
+736b19dc395cbae813df608f53d485f3,2,Network,credential,
+736b19dc395cbae813df608f53d485f3,2,Network,address,127.0.0.1
+736b19dc395cbae813df608f53d485f3,2,Network,listen,
+736b19dc395cbae813df608f53d485f3,2,Network,network_protocol,
+736b19dc395cbae813df608f53d485f3,2,Network,port,
+736b19dc395cbae813df608f53d485f3,2,Network,path,
+736b19dc395cbae813df608f53d485f3,2,Network,protocol,http
+736b19dc395cbae813df608f53d485f3,2,Network,query,
+736b19dc395cbae813df608f53d485f3,2,Network,url.url,http://127.0.0.1
+736b19dc395cbae813df608f53d485f3,3,Other,value_format,string
+736b19dc395cbae813df608f53d485f3,3,Other,secret_using_external_knowledge,hello!
+736b19dc395cbae813df608f53d485f3,4,Socket,address,127.0.0.1
+736b19dc395cbae813df608f53d485f3,4,Socket,listen,
+736b19dc395cbae813df608f53d485f3,4,Socket,network_protocol,
+736b19dc395cbae813df608f53d485f3,4,Socket,port,
+736b19dc395cbae813df608f53d485f3,5,URL,path,
+736b19dc395cbae813df608f53d485f3,5,URL,protocol,http
+736b19dc395cbae813df608f53d485f3,5,URL,query,
+736b19dc395cbae813df608f53d485f3,5,URL,url,http://127.0.0.1
+"""
+
+
+def test_legacy_csv_golden(spark):
+    """Legacy long CSV (reference report_writers.py:43-89 DataFrameWriter
+    (MD5, MetaIndex, Category, Field, Value) shape): hand-pinned block
+    for the foo fixture report — Input File block at index 0, nested
+    Network url.url collision-dotting, Other key promoted to Field,
+    None -> empty cell."""
+    import csv as _csv
+    import hashlib
+    import io
+
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+    from kgmwcp.render import legacy_csv_rows
+
+    tabs = Pipeline(PipelineConfig(
+        n_buckets=8, knowledge_base={"secret": "hello"})).run(
+        fixtures.corpus_df(spark, replication=1, hot_rows=2))
+    foo_sha = hashlib.sha256(
+        (fixtures.FOO_TEXT + "\n# variant 0\n").encode()).hexdigest()
+    row = tabs["reports"].filter(f"root_sha256 = '{foo_sha}'").collect()[0]
+    report = json.loads(row["report_json"])
+
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    w.writerow(["MD5", "MetaIndex", "Category", "Field", "Value"])
+    for r in legacy_csv_rows(report):
+        w.writerow(["" if v is None else v for v in r])
+    assert buf.getvalue() == FOO_LEGACY_CSV
+
+
+def test_cli_legacy_csv_format(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "kg")
+    fixtures.corpus_df(spark, replication=1, hot_rows=2).write.parquet(src)
+    summary = main([
+        "--input", src, "--output", out, "--buckets", "8",
+        "--knowledge-base", json.dumps({"secret": "hello"}),
+        "--format", "csv",
+    ], spark=spark)
+    import pathlib
+
+    csv_path = pathlib.Path(out, "reports_legacy.csv")
+    assert csv_path.exists()
+    assert summary["reports_csv"] == summary["reports"]
+    lines = csv_path.read_text().splitlines()
+    assert lines[0] == "MD5,MetaIndex,Category,Field,Value"
+    # every report contributes its Input File block
+    assert sum(1 for ln in lines if ",0,Input File,parser," in ln) == \
+        summary["reports"]
+    # the pinned foo block appears verbatim inside the combined file
+    assert FOO_LEGACY_CSV.splitlines()[1:] == [
+        ln for ln in lines if ln.startswith("736b19dc395cbae813df608f53d485f3,")]
+
+
 def test_cli_render_format(spark, tmp_path):
     src = str(tmp_path / "docs")
     out = str(tmp_path / "kg")
