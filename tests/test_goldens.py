@@ -39,3 +39,24 @@ def test_golden_counts():
     assert len(goldens.golden_nodes(R, H)) == 61
     assert len(goldens.golden_routes(R, H)) == 100
     assert len(goldens.golden_stix(R, H)) == 93
+
+
+def test_update_goldens_diff_clean_on_head(spark):
+    """The golden-promotion workflow's --diff (scripts/update_goldens.py,
+    the reference's `mwcp test -u` analogue) must be empty on HEAD: the
+    real pipeline agrees with the committed golden parquet."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "update_goldens",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "update_goldens.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    diffs = mod.compute_diffs(spark)
+    assert set(diffs) == set(mod.TABLES)
+    for name, (_, only_p, only_g) in diffs.items():
+        assert not only_p and not only_g, (
+            f"{name}: pipeline drifted from committed goldens "
+            f"({len(only_p)} pipeline-only, {len(only_g)} golden-only)")
