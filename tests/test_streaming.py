@@ -46,6 +46,56 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     assert dup == 0
 
 
+def test_stream_kill_restart_yields_identical_triples(spark, tmp_path):
+    """The full extract->triples path under foreachBatch with lineage
+    manifests as the sink commit: a crash mid-stream in the sharpest
+    window (batch data written, manifest NOT committed, stream
+    checkpoint not advanced) followed by a restart yields exactly the
+    batch pipeline's triples — no duplicates, no losses."""
+    import pytest
+
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    config = PipelineConfig(n_buckets=8, knowledge_base={"secret": "hello"})
+
+    corpus = fixtures.corpus_df(spark, replication=2, hot_rows=4)
+    # many part files so maxFilesPerTrigger=2 forces several micro-batches
+    corpus.repartition(8).write.parquet(src)
+
+    with pytest.raises(Exception, match="simulated crash"):
+        run_available_now(spark, src, out, config,
+                          max_files_per_trigger=2, fail_after_batches=2)
+
+    # partial state on disk: exactly 2 committed batches, but MORE
+    # batch_id partitions than committed (the crashed batch's data landed)
+    from kgmwcp.streaming.ingest import (STREAM_MANIFEST_NAME,
+                                         _stream_manifest_entries)
+
+    committed = [e["batch_id"]
+                 for e in _stream_manifest_entries(f"{out}/{STREAM_MANIFEST_NAME}")
+                 if e.get("status") == "done"]
+    assert len(committed) == 2
+    records_raw = spark.read.parquet(f"{out}/records")
+    on_disk = {r["batch_id"] for r in
+               records_raw.select("batch_id").distinct().collect()}
+    assert len(on_disk) > 2, "crash window should leave uncommitted data"
+
+    # restart: same out dir, same checkpoint — drains the rest
+    tables = run_available_now(spark, src, out, config,
+                               max_files_per_trigger=2)
+    expected = _triples_set(Pipeline(config).run(corpus)["triples"])
+    assert _triples_set(tables["triples"]) == expected
+
+    # exactly-once at the records level too: each mention row appears once
+    records = spark.read.parquet(f"{out}/records")
+    dup = (
+        records.filter(F.col("kind") == "mention")
+        .groupBy("root_sha256", "subj", "pred", "obj", "repo", "path")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
 def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window agg: the streaming result (availableNow
     drain) equals the batch window agg on the same events."""
