@@ -40,8 +40,12 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
         prog="kgmwcp", description="PySpark KG-construction pipeline (MWCP semantics)")
     parser.add_argument("--input", default=None,
                         help="documents(repo,path,commit,lang,content[,route]): "
-                             "a parquet path, or an Iceberg table/path with "
-                             "--input-format iceberg (required unless --schema)")
+                             "a parquet path, an Iceberg table/path with "
+                             "--input-format iceberg, or '-' to read one raw "
+                             "sample from stdin (required unless "
+                             "--schema/--serve)")
+    parser.add_argument("--name", default="stdin.bin",
+                        help="sample filename for --input - (stdin ingest)")
     parser.add_argument("--input-format", default="parquet",
                         choices=["parquet", "iceberg"],
                         help="source format; 'iceberg' loads via "
@@ -81,6 +85,14 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (--input/--output not needed)")
+    parser.add_argument("--serve", action="store_true",
+                        help="start the REST serving layer (GET /parsers, "
+                             "POST /run_parser[/<group>]) instead of a batch "
+                             "run; --input/--output not needed")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address for --serve")
+    parser.add_argument("--port", type=int, default=8080,
+                        help="bind port for --serve")
     parser.add_argument("--greedy", action="store_true",
                         help="run every matching parser per file instead of "
                              "first-match (reference dispatcher greedy mode)")
@@ -109,9 +121,32 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         return {}
     import sys as _sys0
 
+    if args.serve:
+        from kgmwcp.server import make_server
+        from kgmwcp.session import get_spark
+
+        owns_spark = spark is None
+        spark = spark or get_spark("kgmwcp-serve", master=args.master)
+        httpd = make_server(
+            spark, host=args.host, port=args.port,
+            knowledge_base=json.loads(args.knowledge_base))
+        host, port = httpd.server_address[:2]
+        print(f"serving on http://{host}:{port}", file=_sys0.stderr)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+            if owns_spark:
+                spark.stop()
+        return {}
     if not args.input or not args.output:
-        print("error: --input and --output are required (unless --schema)",
-              file=_sys0.stderr)
+        print("error: --input and --output are required "
+              "(unless --schema/--serve)", file=_sys0.stderr)
+        raise SystemExit(2)
+    if args.streaming and args.input == "-":
+        print("error: --streaming cannot read from stdin", file=_sys0.stderr)
         raise SystemExit(2)
     if args.streaming and args.input_format == "iceberg":
         # the streaming source drains a parquet drop-folder; an iceberg
@@ -143,9 +178,10 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     import pathlib as _pathlib
     import sys as _sys
 
-    if args.input_format == "parquet" and not _pathlib.Path(args.input).exists():
+    if (args.input != "-" and args.input_format == "parquet"
+            and not _pathlib.Path(args.input).exists()):
         # iceberg inputs are catalog identifiers/paths resolved by the
-        # runtime, not local filesystem paths
+        # runtime, not local filesystem paths; '-' is stdin
         print(f"error: input path does not exist: {args.input}", file=_sys.stderr)
         raise SystemExit(1)
     if args.parser:
@@ -166,7 +202,19 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
 
             tables = run_available_now(spark, args.input, args.output, config)
         else:
-            if args.input_format == "iceberg":
+            if args.input == "-":
+                # S3 stdin ingest (reference `mwcp parse <parser> -`):
+                # one raw sample from stdin as a binary-b64 documents row
+                import base64
+
+                data = _sys.stdin.buffer.read()
+                docs = spark.createDataFrame(
+                    [("stdin", args.name, "", "binary-b64",
+                      base64.b64encode(data).decode("ascii"))],
+                    "repo string, path string, commit string, lang string, "
+                    "content string",
+                )
+            elif args.input_format == "iceberg":
                 docs = spark.read.format("iceberg").load(args.input)
             else:
                 docs = spark.read.parquet(args.input)
@@ -221,7 +269,15 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
                 f"{args.output}/reports_{args.render_format}",
                 args.render_format,
             )
-        print(json.dumps({"output": args.output, "counts": summary}))
+        out_doc = {"output": args.output, "counts": summary}
+        if args.input == "-":
+            # reference `mwcp parse` prints the report itself
+            out_doc["report"] = [
+                json.loads(r["report_json"])
+                for r in spark.read.parquet(f"{args.output}/reports")
+                .select("report_json").collect()
+            ]
+        print(json.dumps(out_doc))
         return summary
     finally:
         if owns_spark:

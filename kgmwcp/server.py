@@ -1,0 +1,165 @@
+"""REST serving layer — SURVEY §2 S14 (reference
+mwcp/tools/server/server.py:39-97, the flask `mwcp serve` tool).
+
+Stdlib-only (http.server + email-package multipart parsing — flask is
+not in the container).  The server holds ONE SparkSession and serves
+each request by running the SAME Pipeline a batch run uses on a
+one-row corpus, so there is no second extraction code path to drift:
+
+  GET  /                     -> service banner (endpoints)
+  GET  /parsers              -> JSON list of parser groups
+  POST /run_parser           -> report document for the uploaded file
+  POST /run_parser/<parser>  -> routed to one parser group
+
+The upload rides the multipart/form-data field ``data``
+(reference-compatible, server.py:44-46) or, as a convenience, the raw
+request body.  Errors mirror the reference's strings ("No input file
+provided", unknown-parser 4xx).
+
+Serving a distributed batch engine over HTTP is a dev/integration
+surface, not the 100 TB path — per-request latency is one tiny Spark
+job (~1-2 s warm); the scale story stays with the batch/streaming
+pipeline.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+__all__ = ["KgServer", "make_server"]
+
+_FILENAME_RE = re.compile(r'filename="([^"]*)"')
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """-> (data bytes | None, filename | None, fields dict) via the email
+    package (the stdlib cgi module is gone in modern python)."""
+    import email
+    import email.policy
+
+    msg = email.message_from_bytes(
+        b"Content-Type: " + content_type.encode("latin-1") + b"\r\n\r\n" + body,
+        policy=email.policy.default,
+    )
+    data, filename, fields = None, None, {}
+    if not msg.is_multipart():
+        return None, None, {}
+    for part in msg.iter_parts():
+        disposition = str(part.get("Content-Disposition", ""))
+        name_m = re.search(r'name="([^"]*)"', disposition)
+        if not name_m:
+            continue
+        name = name_m.group(1)
+        payload = part.get_payload(decode=True)
+        if name == "data":
+            data = payload
+            fn_m = _FILENAME_RE.search(disposition)
+            filename = fn_m.group(1) if fn_m else None
+        else:
+            fields[name] = (payload or b"").decode("utf-8", "replace")
+    return data, filename, fields
+
+
+class KgServer:
+    """Runs pipeline extractions for HTTP requests over one session."""
+
+    def __init__(self, spark, knowledge_base: Optional[dict] = None):
+        from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+        self.spark = spark
+        self.config = PipelineConfig(
+            n_buckets=8, knowledge_base=knowledge_base or {})
+        self.pipeline = Pipeline(self.config)
+
+    def parser_groups(self) -> list:
+        from kgmwcp.engine.parsers import RULE_GROUPS
+
+        return sorted(RULE_GROUPS)
+
+    def run(self, data: bytes, name: str, parser: Optional[str] = None) -> dict:
+        """One uploaded blob -> its report document (the same report_json
+        the batch pipeline writes)."""
+        from pyspark.sql import functions as F
+
+        if parser is not None and parser not in self.parser_groups():
+            raise KeyError(parser)
+        docs = self.spark.createDataFrame(
+            [("upload", name, "", "binary-b64",
+              base64.b64encode(data).decode("ascii"))],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+        if parser:
+            docs = docs.withColumn("route", F.lit(parser))
+        tables = self.pipeline.run(docs)
+        rows = tables["reports"].select("report_json").collect()
+        assert len(rows) == 1, f"expected one report, got {len(rows)}"
+        return json.loads(rows[0]["report_json"])
+
+
+def make_server(spark, host: str = "127.0.0.1", port: int = 0,
+                knowledge_base: Optional[dict] = None) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``.server_address`` has
+    the bound port (port=0 picks an ephemeral one).  Call
+    ``serve_forever()`` to run; ``shutdown()`` to stop."""
+    kg = KgServer(spark, knowledge_base=knowledge_base)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send_json(self, obj, status: int = 200) -> None:
+            payload = json.dumps(obj).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, fmt, *args):  # quiet: tests/CLI own stderr
+            pass
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "":
+                self._send_json({
+                    "service": "kgmwcp",
+                    "endpoints": ["GET /parsers", "POST /run_parser",
+                                  "POST /run_parser/<parser>"],
+                })
+            elif self.path.rstrip("/") == "/parsers":
+                self._send_json({"parsers": kg.parser_groups()})
+            else:
+                self._send_json({"errors": ["not found"]}, 404)
+
+        def do_POST(self):
+            match = re.fullmatch(r"/run_parser(?:/([^/]+))?/?", self.path)
+            if not match:
+                self._send_json({"errors": ["not found"]}, 404)
+                return
+            parser = match.group(1)
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            data, filename, fields = (None, None, {})
+            if ctype.startswith("multipart/form-data"):
+                data, filename, fields = _parse_multipart(ctype, body)
+            elif body:
+                data = body  # raw-body convenience path
+            parser = parser or fields.get("parser") or None
+            if not data:
+                # reference error string, server.py:...run_parsers
+                self._send_json({"errors": ["No input file provided"]}, 400)
+                return
+            try:
+                report = kg.run(data, filename or "upload.bin", parser)
+            except KeyError:
+                self._send_json(
+                    {"errors": [f"unknown parser group: {parser}"]}, 400)
+                return
+            except Exception as exc:  # surface as a 500, don't kill the thread
+                self._send_json({"errors": [f"extraction failed: {exc}"]}, 500)
+                return
+            self._send_json(report)
+
+    return ThreadingHTTPServer((host, port), Handler)

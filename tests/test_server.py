@@ -1,0 +1,141 @@
+"""REST serving layer (S14) + stdin ingest (S3): the same Pipeline the
+batch run uses, served per-request / per-blob."""
+
+import hashlib
+import io
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from kgmwcp import fixtures
+
+
+@pytest.fixture(scope="module")
+def http_server(spark):
+    from kgmwcp.server import make_server
+
+    httpd = make_server(spark, port=0, knowledge_base={"secret": "hello"})
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    host, port = httpd.server_address[:2]
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post(url, body, content_type):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": content_type})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _multipart(data: bytes, filename: str, fields=None):
+    boundary = "kgmwcpboundary123"
+    buf = io.BytesIO()
+    for name, value in (fields or {}).items():
+        buf.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+                  f'name="{name}"\r\n\r\n{value}\r\n'.encode())
+    buf.write(f"--{boundary}\r\nContent-Disposition: form-data; "
+              f'name="data"; filename="{filename}"\r\n'
+              f"Content-Type: application/octet-stream\r\n\r\n".encode())
+    buf.write(data)
+    buf.write(f"\r\n--{boundary}--\r\n".encode())
+    return buf.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def test_banner_and_parsers(http_server):
+    status, banner = _get(http_server + "/")
+    assert status == 200 and banner["service"] == "kgmwcp"
+    status, parsers = _get(http_server + "/parsers")
+    assert status == 200
+    assert "Quarantined" in parsers["parsers"]
+
+
+def test_run_parser_multipart(http_server):
+    payload = (fixtures.FOO_TEXT + "\n# variant 9\n").encode()
+    # parser passed as a multipart form field (reference-compatible)
+    body, ctype = _multipart(payload, "anything.txt",
+                             fields={"parser": "foo"})
+    status, report = _post(http_server + "/run_parser", body, ctype)
+    assert status == 200
+    assert report["parser"] == "Foo"
+    assert report["input_file"]["name"] == "anything.txt"
+    assert report["input_file"]["sha256"] == hashlib.sha256(payload).hexdigest()
+    # the knowledge base reached the parser (foo secret element)
+    assert any(m.get("key") == "secret_using_external_knowledge"
+               for m in report["metadata"] if m["type"] == "other")
+
+
+def test_run_parser_raw_body(http_server):
+    payload = b"%PDF-1.4 stream http://served.example.com/a end"
+    status, report = _post(http_server + "/run_parser", payload,
+                           "application/octet-stream")
+    assert status == 200
+    assert report["input_file"]["description"] == "PDF Document"
+    assert any(m["type"] == "url" for m in report["metadata"])
+
+
+def test_run_parser_routed_group(http_server):
+    payload = (fixtures.FOO_TEXT + "\n# variant 9\n").encode()
+    body, ctype = _multipart(payload, "x.txt")
+    status, report = _post(http_server + "/run_parser/foo", body, ctype)
+    assert status == 200 and report["parser"] == "Foo"
+    status, err = _post(http_server + "/run_parser/NoSuchGroup", body, ctype)
+    assert status == 400 and "unknown parser group" in err["errors"][0]
+
+
+def test_run_parser_no_data(http_server):
+    body, ctype = _multipart(b"", "empty.txt")
+    status, err = _post(http_server + "/run_parser", body, ctype)
+    assert status == 400
+    assert err["errors"] == ["No input file provided"]
+
+
+def test_not_found(http_server):
+    status, err = _post(http_server + "/nope", b"x", "application/octet-stream")
+    assert status == 404
+
+
+def test_stdin_ingest_cli(spark, tmp_path, monkeypatch, capsys):
+    """S3: `--input -` reads one raw sample from stdin, runs the pipeline,
+    and prints the report inline (reference `mwcp parse <parser> -`)."""
+    import sys
+    import types
+
+    from kgmwcp.cli import main
+
+    payload = (fixtures.FOO_TEXT + "\n# variant 3\n").encode()
+    monkeypatch.setattr(
+        sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(payload)))
+    out = str(tmp_path / "kg")
+    summary = main([
+        "--input", "-", "--name", "dropped.txt", "--output", out,
+        "--buckets", "4", "--knowledge-base", json.dumps({"secret": "hello"}),
+        "--parser", "foo",
+    ], spark=spark)
+    assert summary["reports"] == 1
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    report = printed["report"][0]
+    assert report["parser"] == "Foo"
+    assert report["input_file"]["name"] == "dropped.txt"
+    assert report["input_file"]["sha256"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_streaming_stdin_rejected(capsys):
+    from kgmwcp.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--input", "-", "--output", "/tmp/x", "--streaming"])
+    assert exc.value.code == 2
+    assert "stdin" in capsys.readouterr().err
