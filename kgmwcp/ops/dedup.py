@@ -644,6 +644,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    # NOT persisted, unlike the LSH bands table: A/B-measured at sf0.1
+    # (interleaved rounds) the recompute-per-alias form wins 1.5-2.7 s
+    # vs 2.3-3.1 s persisted — the shingle pipeline is one codegen'd
+    # pass that Catalyst recomputes in parallel subtrees, while persist
+    # adds a materialization barrier + store cost.  LSH persists because
+    # its recomputed pipeline carries 128 min-aggs per row; this one is
+    # a single md5-min.  At 100 TB revisit: 4 scans of the corpus vs one
+    # spill-backed materialization flips with corpus width.
     exploded = _shingles_exploded(docs).dropDuplicates(["doc_id", "shingle"])
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # candidates: pairs sharing the min-md5 shingle (1-band minhash blocking)
