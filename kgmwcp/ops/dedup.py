@@ -371,10 +371,11 @@ _SPAN_TOKENS = 8
 _SPAN_IDS_CAP = 16
 
 
-def q_dedup_substring_spans(spark, sf_dir):
+def _span_fps(docs):
+    """Distinct (doc_id, fp) 8-token-window fingerprints per document —
+    shared by substring-span dedup and benchmark decontamination."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
     toks = (
         docs.select(
             "doc_id",
@@ -385,7 +386,7 @@ def q_dedup_substring_spans(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", k).over(w) for k in range(1, _SPAN_TOKENS)]
     span = F.concat_ws(" ", F.col("tok"), *leads)
-    spans = (
+    return (
         toks.select(
             "doc_id",
             span.alias("span"),
@@ -394,8 +395,15 @@ def q_dedup_substring_spans(spark, sf_dir):
         .filter(F.col("_last").isNotNull())
         .select("doc_id", F.md5(F.encode("span", "utf-8")).alias("fp"))
         .dropDuplicates(["doc_id", "fp"])
-        .select("fp", F.col("doc_id").cast("string").alias("sid"))
     )
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    spans = _span_fps(docs).select(
+        "fp", F.col("doc_id").cast("string").alias("sid"))
     wfp = Window.partitionBy("fp").orderBy("sid")
     ranked = spans.withColumn("rn", F.row_number().over(wfp))
     return (
@@ -435,6 +443,74 @@ SELECT fp, count(*) AS n_docs,
        array_to_string(list_sort(list(sid) FILTER (WHERE rn <= {k})), ',') AS doc_ids
 FROM ranked GROUP BY fp HAVING count(*) >= 2
 """.format(w=_SPAN_TOKENS, k=_SPAN_IDS_CAP)
+
+
+# -- benchmark decontamination ----------------------------------------------------
+# The eval-set-leakage pass an LLM corpus runs before training
+# (n-gram-overlap decontamination): any training doc sharing an 8-token
+# span fingerprint with a benchmark document is flagged.  The benchmark
+# here is the deterministic ``doc_id % 50 == 0`` slice of the same table
+# (a stand-in eval set; production passes a separate benchmark table
+# through the same ``bench_docs`` parameter).  Scale shape: the
+# benchmark fingerprint set is tiny relative to the corpus -> broadcast
+# to the corpus-side join; the corpus side never self-joins and the
+# flag aggregation is a skew-free groupBy on doc_id.
+
+def q_corpus_decontaminate(spark, sf_dir, bench_docs=None):
+    docs = _docs(spark, sf_dir)
+    fps = _span_fps(docs)
+    if bench_docs is not None:
+        bench = _span_fps(bench_docs).select("fp").distinct()
+        train_fps = fps
+        train_ids = docs.select("doc_id")
+    else:
+        bench = fps.filter(F.col("doc_id") % 50 == 0).select("fp").distinct()
+        train_fps = fps.filter(F.col("doc_id") % 50 != 0)
+        train_ids = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+    hits = (
+        train_fps.join(F.broadcast(bench), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return (
+        train_ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_hits"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_CORPUS_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS t
+  FROM documents
+), exploded_spans AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < {w} THEN []
+              ELSE list_transform(generate_series(1, len(t) - {w} + 1),
+                                  i -> array_to_string(t[i:i+{w}-1], ' '))
+         END) AS s
+  FROM toks
+), spans AS (
+  SELECT DISTINCT doc_id, md5(s) AS fp FROM exploded_spans
+), bench AS (
+  SELECT DISTINCT fp FROM spans WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM spans JOIN bench USING (fp)
+  WHERE doc_id % 50 <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+""".format(w=_SPAN_TOKENS)
 
 
 # -- corpus curation (the end-to-end training-data pass) --------------------------
@@ -736,6 +812,7 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "curate_corpus": q_curate_corpus,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "corpus_decontaminate": q_corpus_decontaminate,
 }
 
 ORACLES = {
@@ -746,4 +823,5 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
 }

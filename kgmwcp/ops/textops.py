@@ -281,6 +281,79 @@ SELECT doc_id,
 FROM documents
 """
 
+# -- PII scrubbing ----------------------------------------------------------------
+# Pre-training redaction: emails and IPv4 literals replaced with typed
+# placeholder tokens.  Patterns use only engine-portable constructs
+# (explicit [0-9] classes, \b word boundaries — identical in Java regex
+# and RE2; no lookaround, no \d/\s).  Built as literal Columns (Spark
+# SQL string literals eat backslashes).  Pure per-row Columns — a
+# mapper-only pass with zero shuffle at any scale.  IP counting/scrub
+# runs on the email-scrubbed text so the two passes compose identically
+# on both engines.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_emails = F.regexp_count("text", F.lit(_EMAIL_RE))
+    no_email = F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>"))
+    n_ips = F.regexp_count(no_email, F.lit(_IPV4_RE))
+    clean = F.regexp_replace(no_email, F.lit(_IPV4_RE), F.lit("<IP>"))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                      '{ip}', '<IP>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{email}')) AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                              '{ip}')) AS n_ips
+FROM documents
+""".format(email=_EMAIL_RE, ip=_IPV4_RE)
+
+
+# -- deterministic stratified sampling ----------------------------------------------
+# Corpus downsampling stratified by language: keep each doc with a
+# per-lang probability decided by a hash threshold (md5 of a salted
+# doc_id), NOT a Bernoulli RNG — reproducible across engines, runs, and
+# partitionings, and a pure filter (zero shuffle; at 100 TB this is a
+# scan that prunes before anything downstream).  en keeps 1/2, other
+# languages 1/4 (integer thresholds against the first 8 md5 hex digits
+# = a uniform 32-bit draw).
+
+_SAMPLE_THRESHOLD_EN = 1 << 31       # p = 0.5 of 2^32
+_SAMPLE_THRESHOLD_OTHER = 1 << 30    # p = 0.25
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+            1, 8),
+        16, 10).cast("long")
+    threshold = F.when(F.col("lang") == "en",
+                       F.lit(_SAMPLE_THRESHOLD_EN)) \
+        .otherwise(F.lit(_SAMPLE_THRESHOLD_OTHER))
+    return docs.filter(draw < threshold).select("doc_id", "lang")
+
+
+SQL_CORPUS_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CASE WHEN lang = 'en' THEN {en} ELSE {other} END
+""".format(en=_SAMPLE_THRESHOLD_EN, other=_SAMPLE_THRESHOLD_OTHER)
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -290,6 +363,8 @@ QUERIES = {
     "kg_token_mentions": q_kg_token_mentions,
     "kg_entity_link_docs": q_kg_entity_link_docs,
     "kg_stage0_identity": q_kg_stage0_identity,
+    "text_pii_scrub": q_text_pii_scrub,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
 }
 
 ORACLES = {
@@ -301,4 +376,6 @@ ORACLES = {
     "kg_token_mentions": SQL_KG_TOKEN_MENTIONS,
     "kg_entity_link_docs": SQL_KG_ENTITY_LINK_DOCS,
     "kg_stage0_identity": SQL_KG_STAGE0_IDENTITY,
+    "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+    "corpus_sample_stratified": SQL_CORPUS_SAMPLE_STRATIFIED,
 }

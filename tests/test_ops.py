@@ -146,6 +146,52 @@ def test_hot_key_caps_bound_degenerate_fixtures(spark, tmp_path):
         assert spark_set == duck_set, name
 
 
+def test_pii_scrub_and_decontaminate_planted(spark, tmp_path):
+    """Planted-case semantics: PII scrub replaces emails/IPs with typed
+    tokens and counts them; decontamination flags the doc sharing an
+    8-token span with the benchmark slice (doc_id % 50 == 0) and not
+    the clean doc.  Oracle parity on the same planted fixture."""
+    import duckdb as _duckdb
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (50, f"benchmark doc: {shared} plus trailing words here", "en", "s", 1),
+        (1, f"training doc leaks {shared} verbatim in the middle", "en", "s", 1),
+        (2, "contact bob@example.com or 10.0.0.1 and carol@test.org now",
+         "en", "s", 1),
+        (3, "completely clean text with enough words to form spans maybe",
+         "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    scrub = {r["doc_id"]: r for r in QUERIES["text_pii_scrub"](spark, sf).collect()}
+    assert scrub[2]["n_emails"] == 2 and scrub[2]["n_ips"] == 1
+    assert scrub[2]["clean_text"] == \
+        "contact <EMAIL> or <IP> and <EMAIL> now"
+    assert scrub[3]["n_emails"] == 0 and scrub[3]["n_ips"] == 0
+
+    decon = {r["doc_id"]: r
+             for r in QUERIES["corpus_decontaminate"](spark, sf).collect()}
+    assert 50 not in decon  # benchmark slice excluded from training rows
+    assert decon[1]["contaminated"] and decon[1]["n_hits"] == 1
+    assert not decon[3]["contaminated"] and decon[3]["n_hits"] == 0
+
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet/*.parquet'")
+    for name in ("text_pii_scrub", "corpus_decontaminate",
+                 "corpus_sample_stratified"):
+        df = QUERIES[name](spark, sf)
+        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
+        res = con.execute(ORACLES[name])
+        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
+        assert spark_set == duck_set, name
+
+
 def test_cluster_convergence_flag(spark):
     """A chain graph longer than the iteration budget must be reported as
     NOT converged (one-hop min propagation needs ~diameter rounds); with
