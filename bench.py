@@ -47,6 +47,10 @@ EXTENDED_OPS = [
     "dedup_substring_spans",
     "curate_corpus",
     "multimodal_real_meta",
+    # round-4 ops
+    "text_pii_scrub",
+    "corpus_decontaminate",
+    "corpus_sample_stratified",
 ]
 
 

@@ -120,3 +120,26 @@ def test_residuals_single_aggregate(spark):
     plan = _plan(Pipeline.residuals_of(records))
     assert plan.count("HashAggregate") <= 4  # one partial+final pair (x2 for objectagg fallback)
     assert "Join" not in plan
+
+
+def test_mapper_only_ops_have_zero_shuffle(spark):
+    """PII scrub and stratified sampling are pure per-row passes: their
+    plans must contain NO shuffle exchange (at 100 TB they are scans
+    that compose into whatever runs next)."""
+    from kgmwcp.ops import textops
+
+    for fn in (textops.q_text_pii_scrub, textops.q_corpus_sample_stratified):
+        plan = _plan(fn(spark, SF))
+        assert "Exchange hashpartitioning" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+
+
+def test_decontaminate_broadcasts_benchmark_fps(spark):
+    """The benchmark fingerprint set is the small side: the corpus-side
+    candidate join must be a broadcast, never a shuffle of the corpus
+    fps on fp."""
+    from kgmwcp.ops import dedup
+
+    plan = _plan(dedup.q_corpus_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
