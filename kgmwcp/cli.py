@@ -122,14 +122,24 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     import sys as _sys0
 
     if args.serve:
+        from kgmwcp.pipeline import PipelineConfig
         from kgmwcp.server import make_server
         from kgmwcp.session import get_spark
 
         owns_spark = spark is None
         spark = spark or get_spark("kgmwcp-serve", master=args.master)
-        httpd = make_server(
-            spark, host=args.host, port=args.port,
-            knowledge_base=json.loads(args.knowledge_base))
+        # the full config rides through so --serve honors the same
+        # dispatch flags as a batch run
+        serve_config = PipelineConfig(
+            n_buckets=args.buckets,
+            knowledge_base=json.loads(args.knowledge_base),
+            use_router=args.router,
+            greedy=args.greedy,
+            emit_file_data=args.include_file_data,
+            include_file_data=args.include_file_data,
+        )
+        httpd = make_server(spark, host=args.host, port=args.port,
+                            config=serve_config)
         host, port = httpd.server_address[:2]
         print(f"serving on http://{host}:{port}", file=_sys0.stderr)
         try:
@@ -204,29 +214,31 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         else:
             if args.input == "-":
                 # S3 stdin ingest (reference `mwcp parse <parser> -`):
-                # one raw sample from stdin as a binary-b64 documents row
-                import base64
+                # one raw sample from stdin, shared builder with the
+                # REST server.  NOT checkpointed: resume semantics would
+                # mix a previous run's committed sample into this run's
+                # printed report when the output dir is reused
+                # (code-review finding).
+                from kgmwcp.stages.ingest import single_sample_docs
 
-                data = _sys.stdin.buffer.read()
-                docs = spark.createDataFrame(
-                    [("stdin", args.name, "", "binary-b64",
-                      base64.b64encode(data).decode("ascii"))],
-                    "repo string, path string, commit string, lang string, "
-                    "content string",
-                )
-            elif args.input_format == "iceberg":
-                docs = spark.read.format("iceberg").load(args.input)
+                docs = single_sample_docs(
+                    spark, _sys.stdin.buffer.read(), args.name, repo="stdin",
+                    route=args.parser)
+                tables = pipe.run(docs)
             else:
-                docs = spark.read.parquet(args.input)
-            if args.parser:
-                from pyspark.sql import functions as F
+                if args.input_format == "iceberg":
+                    docs = spark.read.format("iceberg").load(args.input)
+                else:
+                    docs = spark.read.parquet(args.input)
+                if args.parser:
+                    from pyspark.sql import functions as F
 
-                docs = docs.withColumn("route", F.lit(args.parser))
-            if args.no_resume:
-                import shutil
+                    docs = docs.withColumn("route", F.lit(args.parser))
+                if args.no_resume:
+                    import shutil
 
-                shutil.rmtree(args.output, ignore_errors=True)
-            tables = pipe.run_checkpointed(spark, docs, args.output)
+                    shutil.rmtree(args.output, ignore_errors=True)
+                tables = pipe.run_checkpointed(spark, docs, args.output)
 
         summary = {}
         table_names = ("triples", "nodes", "edges", "reports")

@@ -386,7 +386,13 @@ def legacy_csv_rows(report: dict) -> List[tuple]:
         category = _camel_case_to_title(cls)
         flat = _flatten_legacy(element)
         if category == "Other" and "key" in flat:
-            # report_writers.py:73-76 — the Other's key becomes the Field
+            # report_writers.py:73-76 — the Other's key becomes the Field.
+            # Deliberately bug-for-bug, including the degenerate cases:
+            # an Other with key == 'key' assigns then deletes its own
+            # field (the element vanishes from the CSV, exactly as the
+            # reference's `row_dict[row_dict["key"]] = ...; del
+            # row_dict["key"]` does), and key == 'tags' routes the value
+            # through the tag emitter (pinned in test_cli.py).
             flat[flat["key"]] = flat.pop("value", None)
             del flat["key"]
         for key, value in flat.items():

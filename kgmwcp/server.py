@@ -24,7 +24,6 @@ pipeline.
 
 from __future__ import annotations
 
-import base64
 import json
 import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -67,11 +66,14 @@ def _parse_multipart(content_type: str, body: bytes):
 class KgServer:
     """Runs pipeline extractions for HTTP requests over one session."""
 
-    def __init__(self, spark, knowledge_base: Optional[dict] = None):
+    def __init__(self, spark, config=None, knowledge_base: Optional[dict] = None):
         from kgmwcp.pipeline import Pipeline, PipelineConfig
 
         self.spark = spark
-        self.config = PipelineConfig(
+        # a full PipelineConfig rides through from the CLI so --serve
+        # honors --greedy/--router/--buckets exactly like a batch run
+        # (code-review finding: a hardcoded config silently ignored them)
+        self.config = config or PipelineConfig(
             n_buckets=8, knowledge_base=knowledge_base or {})
         self.pipeline = Pipeline(self.config)
 
@@ -82,31 +84,29 @@ class KgServer:
 
     def run(self, data: bytes, name: str, parser: Optional[str] = None) -> dict:
         """One uploaded blob -> its report document (the same report_json
-        the batch pipeline writes)."""
-        from pyspark.sql import functions as F
+        the batch pipeline writes).  ``parser`` must already be
+        validated by the caller (the handler 400s unknown groups)."""
+        from kgmwcp.stages.ingest import single_sample_docs
 
-        if parser is not None and parser not in self.parser_groups():
-            raise KeyError(parser)
-        docs = self.spark.createDataFrame(
-            [("upload", name, "", "binary-b64",
-              base64.b64encode(data).decode("ascii"))],
-            "repo string, path string, commit string, lang string, "
-            "content string",
-        )
-        if parser:
-            docs = docs.withColumn("route", F.lit(parser))
+        docs = single_sample_docs(self.spark, data, name, route=parser)
         tables = self.pipeline.run(docs)
-        rows = tables["reports"].select("report_json").collect()
+        try:
+            rows = tables["reports"].select("report_json").collect()
+        finally:
+            # Pipeline.run persists the records barrier; a long-running
+            # server must not leak one cached relation per request
+            tables["records"].unpersist()
         assert len(rows) == 1, f"expected one report, got {len(rows)}"
         return json.loads(rows[0]["report_json"])
 
 
 def make_server(spark, host: str = "127.0.0.1", port: int = 0,
+                config=None,
                 knowledge_base: Optional[dict] = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.server_address`` has
     the bound port (port=0 picks an ephemeral one).  Call
     ``serve_forever()`` to run; ``shutdown()`` to stop."""
-    kg = KgServer(spark, knowledge_base=knowledge_base)
+    kg = KgServer(spark, config=config, knowledge_base=knowledge_base)
 
     class Handler(BaseHTTPRequestHandler):
         def _send_json(self, obj, status: int = 200) -> None:
@@ -151,12 +151,15 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                 # reference error string, server.py:...run_parsers
                 self._send_json({"errors": ["No input file provided"]}, 400)
                 return
-            try:
-                report = kg.run(data, filename or "upload.bin", parser)
-            except KeyError:
+            # validate the group BEFORE running — an over-broad
+            # `except KeyError` around kg.run would misreport internal
+            # KeyErrors as client errors (code-review finding)
+            if parser is not None and parser not in kg.parser_groups():
                 self._send_json(
                     {"errors": [f"unknown parser group: {parser}"]}, 400)
                 return
+            try:
+                report = kg.run(data, filename or "upload.bin", parser)
             except Exception as exc:  # surface as a 500, don't kill the thread
                 self._send_json({"errors": [f"extraction failed: {exc}"]}, 500)
                 return

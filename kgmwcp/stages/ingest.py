@@ -16,7 +16,26 @@ from pyspark.sql import functions as F
 
 from kgmwcp.schema import ROUTE_COLUMN
 
-__all__ = ["prepare_samples"]
+__all__ = ["prepare_samples", "single_sample_docs"]
+
+
+def single_sample_docs(spark, data: bytes, name: str, repo: str = "upload",
+                       route: str | None = None) -> DataFrame:
+    """One raw blob -> a one-row documents DataFrame (binary-b64 lang
+    tag) — the shared ingest shape for stdin (`--input -`) and the REST
+    server, so the two one-shot surfaces cannot drift from each other
+    or from the table contract."""
+    import base64
+
+    docs = spark.createDataFrame(
+        [(repo, name, "", "binary-b64",
+          base64.b64encode(data).decode("ascii"))],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    if route:
+        docs = docs.withColumn(ROUTE_COLUMN, F.lit(route))
+    return docs
 
 
 def prepare_samples(docs: DataFrame, n_buckets: int = 64) -> DataFrame:

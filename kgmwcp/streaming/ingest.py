@@ -172,12 +172,21 @@ def run_available_now(spark: SparkSession, source_dir: str, out_dir: str,
             for e in _stream_manifest_entries(manifest_path)
             if e.get("status") == "done"]
     if pathlib.Path(records_path).exists() and done:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # explicit schema (+ the batch_id partition column): a drain
+        # whose only committed batches were EMPTY leaves the sink dir
+        # with no data files, and schema inference would crash where an
+        # empty frame is the right answer (code-review finding — the
+        # same hole this comment block was originally written for)
+        read_schema = StructType(
+            list(EXTRACT_SCHEMA) + [StructField("batch_id", LongType())])
         # only committed micro-batches are visible (data written by a
         # crashed uncommitted batch is excluded until its replay commits)
         done_df = spark.createDataFrame([(b,) for b in sorted(set(done))],
-                                        "batch_id int")
+                                        "batch_id long")
         all_records = (
-            spark.read.parquet(records_path)
+            spark.read.schema(read_schema).parquet(records_path)
             .join(F.broadcast(done_df), "batch_id", "left_semi")
             .drop("batch_id")
             # partition discovery appends bucket at the end; restore the

@@ -216,6 +216,33 @@ def test_legacy_csv_golden(spark):
     assert buf.getvalue() == FOO_LEGACY_CSV
 
 
+def test_legacy_csv_other_key_collisions_bug_for_bug():
+    """Degenerate Other keys mirror the reference exactly
+    (report_writers.py:73-76): key == 'key' self-deletes (the element
+    vanishes from the CSV), key == 'tags' routes the value through the
+    sorted tag emitter."""
+    from kgmwcp.render import legacy_csv_rows
+
+    report = {
+        "input_file": {"md5": "m", "name": "f", "tags": []},
+        "parser": "P",
+        "metadata": [
+            {"type": "other", "tags": [], "key": "key",
+             "value": "ghost", "value_format": "string"},
+            {"type": "other", "tags": [], "key": "tags",
+             "value": ["b", "a"], "value_format": "string"},
+        ],
+    }
+    rows = [r for r in legacy_csv_rows(report) if r[1] > 0]
+    # element 1: only value_format survives; the 'ghost' value is gone
+    elem1 = [r for r in rows if r[1] == 1]
+    assert elem1 == [("m", 1, "Other", "value_format", "string")]
+    # element 2: the list value became sorted tag rows
+    elem2 = [r for r in rows if r[1] == 2]
+    assert ("m", 2, "Other", "tag", "a") in elem2
+    assert ("m", 2, "Other", "tag", "b") in elem2
+
+
 def test_cli_legacy_csv_format(spark, tmp_path):
     src = str(tmp_path / "docs")
     out = str(tmp_path / "kg")

@@ -132,6 +132,52 @@ def test_stdin_ingest_cli(spark, tmp_path, monkeypatch, capsys):
     assert report["input_file"]["sha256"] == hashlib.sha256(payload).hexdigest()
 
 
+def test_stdin_reuse_output_dir_reports_only_current_sample(
+        spark, tmp_path, monkeypatch, capsys):
+    """Two stdin runs into the SAME output dir: the second run's printed
+    report must contain only the second sample (stdin is one-shot, not
+    checkpoint-resumed — code-review finding)."""
+    import sys
+    import types
+
+    from kgmwcp.cli import main
+
+    out = str(tmp_path / "kg")
+    digests = []
+    for variant in ("A", "B"):
+        payload = (fixtures.FOO_TEXT + f"\n# run {variant}\n").encode()
+        digests.append(hashlib.sha256(payload).hexdigest())
+        monkeypatch.setattr(
+            sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(payload)))
+        summary = main([
+            "--input", "-", "--name", f"{variant}.txt", "--output", out,
+            "--buckets", "4", "--parser", "foo",
+        ], spark=spark)
+        assert summary["reports"] == 1
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(printed["report"]) == 1
+    assert printed["report"][0]["input_file"]["sha256"] == digests[1]
+
+
+def test_stream_empty_committed_batch_returns_empty_tables(spark, tmp_path):
+    """A drain whose only committed micro-batch is EMPTY (zero-row part
+    file in the drop folder) must return empty tables, not crash on
+    parquet schema inference (code-review finding)."""
+    from kgmwcp.pipeline import PipelineConfig
+    from kgmwcp.streaming.ingest import run_available_now
+
+    src = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    ).coalesce(1).write.parquet(src)
+    tables = run_available_now(spark, src, out, PipelineConfig(n_buckets=4))
+    assert tables["triples"].count() == 0
+    assert tables["reports"].count() == 0
+
+
 def test_streaming_stdin_rejected(capsys):
     from kgmwcp.cli import main
 
