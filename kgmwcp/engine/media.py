@@ -106,3 +106,70 @@ def parse_wav(payload: bytes) -> Optional[dict]:
         "duration_ms": n_samples * 1000 // sample_rate,
         "n_bytes": len(payload),
     }
+
+
+def resize_bmp_nearest(payload: bytes, out_width: int = None,
+                       out_height: int = None) -> Optional[dict]:
+    """Real nearest-neighbor downscale over the decoded pixel array
+    (default: half size, rounding up).  Reads the actual pixel bytes —
+    stride padding included, sampling in STORED row order (BMP stores
+    rows bottom-up; the resized array keeps that order, so this is a
+    true resize of the stored image) — and returns the sampled-pixel
+    byte checksum so a verifier can prove the bytes were really read,
+    not echoed from header fields.  Bounds-guarded like every other
+    untrusted-format reader here: a truncated pixel array returns None
+    instead of raising."""
+    info = parse_bmp(payload)
+    if info is None:
+        return None
+    width, height, channels = info["width"], info["height"], info["channels"]
+    if width <= 0 or height <= 0 or channels not in (3, 4):
+        return None
+    stride = _bmp_row_stride(width, channels)
+    pixels = payload[_BMP_HEADER_SIZE:]
+    if len(pixels) < stride * height:
+        return None
+    out_w = out_width or (width + 1) // 2
+    out_h = out_height or (height + 1) // 2
+    total = 0
+    for oy in range(out_h):
+        base_row = (oy * height // out_h) * stride
+        for ox in range(out_w):
+            base = base_row + (ox * width // out_w) * channels
+            for c in range(channels):
+                total += pixels[base + c]
+    return {"width": out_w, "height": out_h, "channels": channels,
+            "checksum": total}
+
+
+def wav_features(payload: bytes) -> Optional[dict]:
+    """Real feature extraction from decoded 16-bit PCM samples: frame
+    count, sum of absolute amplitudes, peak amplitude — all integer
+    arithmetic, so a declarative twin can match bit-for-bit.  Walks the
+    RIFF chunks for the data offset (parse_wav only returns sizes) and
+    reads the actual sample words."""
+    info = parse_wav(payload)
+    if info is None:
+        return None
+    pos, data_off, data_size, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+        elif cid == b"data":
+            data_off, data_size = pos + 8, size
+        pos += 8 + size + (size & 1)
+    if bits != 16:  # only 16-bit PCM features are implemented
+        return None
+    if data_off is None or data_off + data_size > len(payload):
+        return None
+    n_words = data_size // 2
+    samples = struct.unpack_from(f"<{n_words}h", payload, data_off)
+    sum_abs = sum(abs(s) for s in samples)
+    peak = max((abs(s) for s in samples), default=0)
+    return {
+        "n_frames": n_words // info["channels"],
+        "channels": info["channels"],
+        "sum_abs": sum_abs,
+        "peak": peak,
+    }

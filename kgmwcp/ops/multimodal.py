@@ -223,14 +223,146 @@ FROM documents
 """
 
 
+# -- real resize + real feature extraction ------------------------------------------
+# Same proof shape as real_meta, one level deeper: the mapper hands the
+# decoder ONLY bytes; resize_bmp_nearest samples actual pixel bytes
+# (stride padding, stored row order) and wav_features decodes actual
+# int16 sample words — the oracles recompute the expected checksums /
+# amplitude sums from the synthesis closed form ((seed+i) % 256), so a
+# hash match proves the pixel/sample bytes were genuinely read and
+# resampled, not echoed from headers.  All-integer arithmetic keeps the
+# twins bit-exact.
+
+_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("checksum", LongType()),
+])
+
+
+def q_multimodal_resize(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    )
+
+    def mapper(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgmwcp.engine import media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r = media.resize_bmp_nearest(_synth_payload(d))
+                rows.append({"doc_id": d, **r})
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels",
+                               "checksum"])
+            for col in ("width", "height", "channels"):
+                out[col] = out[col].astype("Int32")
+            yield out
+
+    return docs.mapInPandas(mapper, schema=_RESIZE_SCHEMA)
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 32 + 1) AS w,
+         (doc_id % 24 + 1) AS h,
+         (3 + (doc_id // 2) % 2) AS ch
+  FROM documents WHERE doc_id % 2 = 0
+), q AS (
+  SELECT doc_id, w, h, ch,
+         ((w * ch + 3) // 4 * 4) AS stride,
+         ((w + 1) // 2) AS out_w,
+         ((h + 1) // 2) AS out_h
+  FROM p
+)
+SELECT doc_id,
+       out_w::INT AS width, out_h::INT AS height, ch::INT AS channels,
+       CAST(list_aggregate(flatten(list_transform(range(out_h), oy ->
+            flatten(list_transform(range(out_w), ox ->
+              list_transform(range(ch), c ->
+                (doc_id + (oy * h // out_h) * stride
+                 + (ox * w // out_w) * ch + c) % 256))))), 'sum') AS BIGINT)
+         AS checksum
+FROM q
+"""
+
+
+_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sum_abs", LongType()),
+    StructField("peak", IntegerType()),
+])
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") % 2 == 1)
+    )
+
+    def mapper(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgmwcp.engine import media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r = media.wav_features(_synth_payload(d))
+                rows.append({"doc_id": d, **r})
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "channels", "sum_abs",
+                               "peak"])
+            for col in ("n_frames", "channels", "peak"):
+                out[col] = out[col].astype("Int32")
+            yield out
+
+    return docs.mapInPandas(mapper, schema=_FEATURES_SCHEMA)
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         ((doc_id // 2) % 2 + 1) AS ch,
+         (doc_id % 400 + 1) AS n_frames
+  FROM documents WHERE doc_id % 2 = 1
+), s AS (
+  SELECT doc_id, ch, n_frames,
+         list_transform(range(n_frames * ch), k ->
+           abs(CASE WHEN ((doc_id + 2*k) % 256
+                          + 256 * ((doc_id + 2*k + 1) % 256)) >= 32768
+                    THEN ((doc_id + 2*k) % 256
+                          + 256 * ((doc_id + 2*k + 1) % 256)) - 65536
+                    ELSE ((doc_id + 2*k) % 256
+                          + 256 * ((doc_id + 2*k + 1) % 256)) END)) AS a
+  FROM p
+)
+SELECT doc_id, n_frames::INT AS n_frames, ch::INT AS channels,
+       CAST(list_aggregate(a, 'sum') AS BIGINT) AS sum_abs,
+       CAST(list_aggregate(a, 'max') AS INT) AS peak
+FROM s
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_real_meta": q_multimodal_real_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_real_meta": SQL_MULTIMODAL_REAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

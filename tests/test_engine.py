@@ -1067,3 +1067,39 @@ class TestDispatcherRobustness:
                        for e in result.errors)
         finally:
             disp.MAX_FILES_PER_ROOT = old
+
+
+class TestMediaResizeFeatures:
+    def test_resize_reads_real_pixels_not_header_echo(self):
+        from kgmwcp.engine import media
+
+        bmp = media.make_bmp(9, 6, 3, seed=7)
+        base = media.resize_bmp_nearest(bmp)
+        assert base["width"] == 5 and base["height"] == 3
+        # flip one pixel byte that nearest-neighbor samples: the checksum
+        # MUST move — proving bytes are read, not recomputed from headers
+        corrupted = bytearray(bmp)
+        corrupted[54] = (corrupted[54] + 1) % 256  # pixel (0,0) channel 0
+        assert media.resize_bmp_nearest(bytes(corrupted))["checksum"] \
+            != base["checksum"]
+
+    def test_resize_bounds_guarded_on_truncated_pixels(self):
+        from kgmwcp.engine import media
+
+        bmp = media.make_bmp(9, 6, 3, seed=7)
+        assert media.resize_bmp_nearest(bmp[:60]) is None
+        assert media.resize_bmp_nearest(b"not a bmp") is None
+
+    def test_wav_features_decode_matches_struct_truth(self):
+        import struct
+
+        from kgmwcp.engine import media
+
+        wav = media.make_wav(2, 8000, 5, seed=3)
+        feats = media.wav_features(wav)
+        words = struct.unpack_from("<10h", wav, 44)
+        assert feats["n_frames"] == 5 and feats["channels"] == 2
+        assert feats["sum_abs"] == sum(abs(w) for w in words)
+        assert feats["peak"] == max(abs(w) for w in words)
+        # truncated data chunk: guarded, not raising
+        assert media.wav_features(wav[:50]) is None
