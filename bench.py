@@ -51,6 +51,8 @@ EXTENDED_OPS = [
     "text_pii_scrub",
     "corpus_decontaminate",
     "corpus_sample_stratified",
+    "multimodal_resize",
+    "multimodal_features",
 ]
 
 

@@ -182,3 +182,33 @@ def test_udf_walk_total_on_arbitrary_tail(data):
     img[off:off + len(data)] = data
     reader = iso9660.IsoReader(bytes(img))
     assert isinstance(list(reader.walk("udf")), list)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048),
+       seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_media_resize_and_features_total(data, seed):
+    """resize_bmp_nearest / wav_features are total like the parsers:
+    arbitrary bytes, truncations (the bounds-guard class fuzz missed
+    once before), and bit-flipped valid files all return a dict or None,
+    never raise or read out of bounds."""
+    import random
+
+    from kgmwcp.engine import media
+
+    rng = random.Random(seed)
+    base = media.make_bmp(9, 7, 3, seed=seed % 256) if seed % 2 else \
+        media.make_wav(2, 8000, 33, seed=seed % 256)
+    candidates = [
+        data,
+        base[: rng.randrange(len(base) + 1)],      # truncated carve
+        bytes(data) + base,                         # garbage prefix
+    ]
+    corrupted = bytearray(base + data)
+    for _ in range(8):
+        corrupted[rng.randrange(len(corrupted))] ^= 1 << rng.randrange(8)
+    candidates.append(bytes(corrupted))
+    for fn in (media.resize_bmp_nearest, media.wav_features):
+        for payload in candidates:
+            out = fn(payload)
+            assert out is None or isinstance(out, dict)
