@@ -252,14 +252,29 @@ def _free_labels(labels) -> None:
 
 
 def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
-                         max_iters: int = _CLUSTER_MAX_ITERS):
+                         max_iters: int = _CLUSTER_MAX_ITERS,
+                         jump_after: int = 4):
     """Min-label propagation over an undirected pair graph.  Returns a
     (doc_id, cluster_id) DataFrame with a ``kgmwcp_convergence`` attribute
     ``{"converged": bool, "iterations": int}`` — at ``max_iters`` the loop
-    would otherwise exit SILENTLY without a fixpoint on a graph whose
-    diameter exceeds the budget (one-hop propagation needs ~diameter
-    rounds), and the caller deserves to know the labels are provisional.
-    Non-convergence is also logged at WARN."""
+    would otherwise exit SILENTLY without a fixpoint, and the caller
+    deserves to know the labels are provisional.  Non-convergence is also
+    logged at WARN.
+
+    Rounds start as plain one-hop edge relaxations (neighbor min); from
+    round ``jump_after`` on, each relaxation is followed by a POINTER
+    JUMP (label := label-of-label — every cluster_id is itself a doc_id,
+    so labels double as representative pointers), after which reachable
+    distance roughly doubles per round: O(log diameter) rounds instead
+    of O(diameter).  Adaptive because of a measured trade: the LSH
+    band caps keep real components shallow (fixpoint in 2-3 rounds) and
+    there the jump's extra self-join only costs (A/B at sf0.1: one-hop
+    2.7-3.8 s vs always-jump 6.6 s), while a chain-shaped component that
+    band caps failed to shorten would need ~diameter one-hop rounds —
+    at 100 TB the difference between ~40 shuffle rounds and ~2000
+    (pinned by the 300-chain test).  The fixpoint itself (min doc_id per
+    connected component) is algorithm-independent, so the recursive-CTE
+    oracle and the checkpoint-parity test are unaffected."""
     from pyspark.storagelevel import StorageLevel
 
     edges = (
@@ -281,13 +296,32 @@ def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("neighbor_min"))
         )
-        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+        relaxed = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(
                 F.col("cluster_id"),
                 F.coalesce("neighbor_min", F.col("cluster_id")),
             ).alias("cluster_id"),
         )
+        if i >= jump_after:
+            # pointer jump: follow the representative's own label one step
+            reps = relaxed.select(
+                F.col("doc_id").alias("rep_id"),
+                F.col("cluster_id").alias("rep_label"),
+            )
+            new_labels = (
+                relaxed.join(reps, relaxed["cluster_id"] == reps["rep_id"],
+                             "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("rep_label", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+        else:
+            new_labels = relaxed
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             # eager localCheckpoint materializes AND truncates lineage —
             # the next round's join starts from stored blocks, not the

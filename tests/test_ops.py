@@ -217,6 +217,26 @@ def test_cluster_convergence_flag(spark):
     full.unpersist()
 
 
+def test_cluster_pointer_jumping_is_log_diameter(spark):
+    """A 300-node chain needs ~299 one-hop rounds; with pointer jumping
+    engaging after round 4, reachable distance roughly doubles per
+    round, so the fixpoint lands well inside a 14-round budget — the
+    O(log d) shape a 100 TB pathological component requires."""
+    from kgmwcp.ops.dedup import propagate_min_labels
+
+    n = 300
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long")
+    labels = propagate_min_labels(docs, pairs, checkpoint_every=6,
+                                  max_iters=14)
+    info = labels.kgmwcp_convergence
+    assert info["converged"] is True, info
+    assert {r["cluster_id"] for r in labels.collect()} == {1}
+    labels.unpersist()
+
+
 def test_ivf_quantizer_reuse(spark):
     """train_ivf once -> two searches reuse the persisted centroid table:
     same results as the fused form, and the second search's plan reads the
