@@ -85,6 +85,10 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (--input/--output not needed)")
+    parser.add_argument("--list", dest="list_parsers", action="store_true",
+                        help="list registered parser groups and rules as "
+                             "JSON and exit (reference `mwcp list`; "
+                             "--input/--output not needed)")
     parser.add_argument("--serve", action="store_true",
                         help="start the REST serving layer (GET /parsers, "
                              "POST /run_parser[/<group>]) instead of a batch "
@@ -118,6 +122,25 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         from kgmwcp.schema import report_json_schema
 
         print(json.dumps(report_json_schema(), indent=4))
+        return {}
+    if args.list_parsers:
+        # reference `mwcp list` (cli.py:148-177): name/source/description
+        # per parser; here grouped by routing group, JSON only (tabulate
+        # is not in the container; the text renderers live in render.py)
+        from kgmwcp.engine.parsers import RULE_GROUPS
+
+        listing = [
+            {
+                "group": group,
+                "rules": [
+                    {"name": rule.name(), "description": rule.DESCRIPTION,
+                     "source": "kgmwcp"}
+                    for rule in rules
+                ],
+            }
+            for group, rules in sorted(RULE_GROUPS.items())
+        ]
+        print(json.dumps(listing, indent=4))
         return {}
     import sys as _sys0
 

@@ -404,3 +404,16 @@ def test_cli_iceberg_input_routing(spark, tmp_path, monkeypatch):
     ], spark=spark)
     assert calls == {"format": "iceberg", "load": "warehouse.db.documents"}
     assert summary["triples"] > 0
+
+
+def test_cli_list_parsers(capsys):
+    """--list (reference `mwcp list`, cli.py:148-177): JSON listing of
+    every routing group and its rules, no Spark session needed."""
+    summary = main(["--list"])
+    assert summary == {}
+    listing = json.loads(capsys.readouterr().out)
+    groups = {g["group"]: g["rules"] for g in listing}
+    assert len(groups["Quarantined"]) == 6
+    names = {r["name"] for r in groups["Quarantined"]}
+    assert "SymantecSubSDK" in names
+    assert all(r["description"] for g in listing for r in g["rules"])
