@@ -112,6 +112,25 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     return parser.parse_args(argv)
 
 
+def _config_from_args(args):
+    """The ONE PipelineConfig constructor from CLI flags — shared by the
+    batch, streaming, stdin, and --serve paths so a flag added to one
+    cannot silently drift from the others (review finding: the serve
+    path hand-copied the literal and dropped extract_partitions and the
+    residuals implication)."""
+    from kgmwcp.pipeline import PipelineConfig
+
+    return PipelineConfig(
+        n_buckets=args.buckets,
+        extract_partitions=args.extract_partitions,
+        knowledge_base=json.loads(args.knowledge_base),
+        use_router=args.router,
+        emit_file_data=args.residuals or args.include_file_data,
+        greedy=args.greedy,
+        include_file_data=args.include_file_data,
+    )
+
+
 def main(argv: Optional[list] = None, spark=None) -> dict:
     # --schema is a real argparse flag (not an argv pre-scan, which
     # would fire on any token equal to '--schema' — e.g. a mistyped
@@ -145,24 +164,15 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     import sys as _sys0
 
     if args.serve:
-        from kgmwcp.pipeline import PipelineConfig
         from kgmwcp.server import make_server
         from kgmwcp.session import get_spark
 
         owns_spark = spark is None
         spark = spark or get_spark("kgmwcp-serve", master=args.master)
-        # the full config rides through so --serve honors the same
-        # dispatch flags as a batch run
-        serve_config = PipelineConfig(
-            n_buckets=args.buckets,
-            knowledge_base=json.loads(args.knowledge_base),
-            use_router=args.router,
-            greedy=args.greedy,
-            emit_file_data=args.include_file_data,
-            include_file_data=args.include_file_data,
-        )
+        if args.include_file_data:
+            args.residuals = True
         httpd = make_server(spark, host=args.host, port=args.port,
-                            config=serve_config)
+                            config=_config_from_args(args))
         host, port = httpd.server_address[:2]
         print(f"serving on http://{host}:{port}", file=_sys0.stderr)
         try:
@@ -192,20 +202,12 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         # genuinely implies --residuals (the help text's promise): the
         # residuals table + residual_files/ materialization come too
         args.residuals = True
-    from kgmwcp.pipeline import Pipeline, PipelineConfig
+    from kgmwcp.pipeline import Pipeline
     from kgmwcp.session import get_spark
 
     owns_spark = spark is None
     spark = spark or get_spark("kgmwcp", master=args.master)
-    config = PipelineConfig(
-        n_buckets=args.buckets,
-        extract_partitions=args.extract_partitions,
-        knowledge_base=json.loads(args.knowledge_base),
-        use_router=args.router,
-        emit_file_data=args.residuals or args.include_file_data,
-        greedy=args.greedy,
-        include_file_data=args.include_file_data,
-    )
+    config = _config_from_args(args)
     pipe = Pipeline(config)
 
     import pathlib as _pathlib
@@ -230,6 +232,13 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
           file=_sys.stderr)
 
     try:
+        if args.no_resume:
+            # applies to EVERY input mode (a stdin run reusing an output
+            # dir must also be able to demand a clean slate — review
+            # finding: the rmtree briefly lived in the batch-only branch)
+            import shutil
+
+            shutil.rmtree(args.output, ignore_errors=True)
         if args.streaming:
             from kgmwcp.streaming.ingest import run_available_now
 
@@ -257,10 +266,6 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
                     from pyspark.sql import functions as F
 
                     docs = docs.withColumn("route", F.lit(args.parser))
-                if args.no_resume:
-                    import shutil
-
-                    shutil.rmtree(args.output, ignore_errors=True)
                 tables = pipe.run_checkpointed(spark, docs, args.output)
 
         summary = {}

@@ -18,7 +18,8 @@ from __future__ import annotations
 import struct
 from typing import Optional
 
-__all__ = ["make_bmp", "make_wav", "parse_bmp", "parse_wav"]
+__all__ = ["make_bmp", "make_wav", "parse_bmp", "parse_wav",
+           "resize_bmp_nearest", "wav_features"]
 
 _BMP_HEADER_SIZE = 54          # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 _WAV_HEADER_SIZE = 44          # RIFF + fmt(16) + data chunk header
@@ -129,8 +130,11 @@ def resize_bmp_nearest(payload: bytes, out_width: int = None,
     pixels = payload[_BMP_HEADER_SIZE:]
     if len(pixels) < stride * height:
         return None
-    out_w = out_width or (width + 1) // 2
-    out_h = out_height or (height + 1) // 2
+    out_w = out_width if out_width is not None else (width + 1) // 2
+    out_h = out_height if out_height is not None else (height + 1) // 2
+    if out_w <= 0 or out_h <= 0:
+        # an explicit 0/negative target is invalid, not "use the default"
+        return None
     total = 0
     for oy in range(out_h):
         base_row = (oy * height // out_h) * stride

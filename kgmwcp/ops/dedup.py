@@ -303,8 +303,16 @@ def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
                 F.coalesce("neighbor_min", F.col("cluster_id")),
             ).alias("cluster_id"),
         )
+        jumped_relaxed = None
         if i >= jump_after:
-            # pointer jump: follow the representative's own label one step
+            # pointer jump: follow the representative's own label one
+            # step.  `relaxed` appears on BOTH sides of the jump join, so
+            # (a) persist it for the round — otherwise the neighbor-min
+            # shuffle executes twice — and (b) the plan would DOUBLE per
+            # jump round (2^k subtrees between checkpoints), so jump
+            # rounds always truncate lineage below (review finding).
+            relaxed = relaxed.persist(StorageLevel.MEMORY_AND_DISK)
+            jumped_relaxed = relaxed
             reps = relaxed.select(
                 F.col("doc_id").alias("rep_id"),
                 F.col("cluster_id").alias("rep_label"),
@@ -322,7 +330,9 @@ def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
             )
         else:
             new_labels = relaxed
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        force_truncate = jumped_relaxed is not None
+        if force_truncate or (
+                checkpoint_every and (i + 1) % checkpoint_every == 0):
             # eager localCheckpoint materializes AND truncates lineage —
             # the next round's join starts from stored blocks, not the
             # whole join tree built so far
@@ -330,6 +340,8 @@ def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         cur = new_labels.agg(label_sum).collect()[0]["s"]
+        if jumped_relaxed is not None:
+            jumped_relaxed.unpersist()
         _free_labels(labels)
         labels = new_labels
         iterations = i + 1

@@ -159,6 +159,30 @@ def test_stdin_reuse_output_dir_reports_only_current_sample(
     assert printed["report"][0]["input_file"]["sha256"] == digests[1]
 
 
+def test_stdin_no_resume_wipes_stale_artifacts(spark, tmp_path, monkeypatch,
+                                               capsys):
+    """--no-resume applies to stdin runs too: stale artifacts from a
+    previous run in the same output dir (e.g. residual_files) are wiped
+    before the new sample runs (review finding)."""
+    import pathlib
+    import sys
+    import types
+
+    from kgmwcp.cli import main
+
+    out = str(tmp_path / "kg")
+    stale = pathlib.Path(out) / "residual_files"
+    stale.mkdir(parents=True)
+    (stale / "00000_stale.bin").write_bytes(b"old run")
+
+    payload = (fixtures.FOO_TEXT + "\n# clean\n").encode()
+    monkeypatch.setattr(
+        sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(payload)))
+    main(["--input", "-", "--output", out, "--buckets", "4",
+          "--parser", "foo", "--no-resume"], spark=spark)
+    assert not (stale / "00000_stale.bin").exists()
+
+
 def test_stream_empty_committed_batch_returns_empty_tables(spark, tmp_path):
     """A drain whose only committed micro-batch is EMPTY (zero-row part
     file in the drop folder) must return empty tables, not crash on
