@@ -85,6 +85,13 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
     parser.add_argument("--schema", action="store_true",
                         help="print the JSON Schema of report_json documents "
                              "and exit (--input/--output not needed)")
+    parser.add_argument("--export-iceberg", default=None, metavar="PREFIX",
+                        help="additionally export the final KG tables to "
+                             "Iceberg as <PREFIX>_<table> (e.g. "
+                             "warehouse.db.kg -> warehouse.db.kg_triples); "
+                             "requires the Iceberg runtime on the cluster. "
+                             "The --output directory still holds lineage "
+                             "manifests and the parquet copies")
     parser.add_argument("--list", dest="list_parsers", action="store_true",
                         help="list registered parser groups and rules as "
                              "JSON and exit (reference `mwcp list`; "
@@ -278,6 +285,13 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
             df = tables[name]
             df.write.mode("overwrite").parquet(f"{args.output}/{name}")
             summary[name] = spark.read.parquet(f"{args.output}/{name}").count()
+            if args.export_iceberg:
+                # catalog export reads back the just-written parquet (the
+                # post-barrier materialized copy) so the extract stage
+                # doesn't re-run per sink
+                (spark.read.parquet(f"{args.output}/{name}")
+                 .writeTo(f"{args.export_iceberg}_{name}")
+                 .createOrReplace())
         metrics = Pipeline.metrics(tables["records"])
         metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
         if args.residuals:

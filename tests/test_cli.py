@@ -406,6 +406,39 @@ def test_cli_iceberg_input_routing(spark, tmp_path, monkeypatch):
     assert summary["triples"] > 0
 
 
+def test_cli_export_iceberg(spark, tmp_path, monkeypatch):
+    """--export-iceberg routes every final table through
+    DataFrame.writeTo(<prefix>_<table>).createOrReplace() (the Iceberg
+    runtime isn't in this container — assert the catalog calls; parquet
+    outputs and counts are unchanged)."""
+    calls = []
+
+    class FakeWriter:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def createOrReplace(self):
+            calls.append(self.ident)
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "kg")
+    docs = fixtures.corpus_df(spark, replication=1, hot_rows=1)
+    # patch the CONCRETE DataFrame class (Spark 4's classic.DataFrame
+    # shadows the abstract base's writeTo)
+    monkeypatch.setattr(type(docs), "writeTo",
+                        lambda self, ident: FakeWriter(ident))
+    docs.write.parquet(src)
+    summary = main([
+        "--input", src, "--output", out, "--buckets", "4",
+        "--export-iceberg", "warehouse.db.kg",
+    ], spark=spark)
+    assert sorted(calls) == [
+        "warehouse.db.kg_edges", "warehouse.db.kg_nodes",
+        "warehouse.db.kg_reports", "warehouse.db.kg_triples",
+    ]
+    assert summary["triples"] > 0
+
+
 def test_cli_list_parsers(capsys):
     """--list (reference `mwcp list`, cli.py:148-177): JSON listing of
     every routing group and its rules, no Spark session needed."""
