@@ -320,6 +320,109 @@ FROM documents
 """.format(email=_EMAIL_RE, ip=_IPV4_RE)
 
 
+# -- repetition signals (Gopher/MassiveText-style quality rules) --------------------
+# Intra-document repetition is the classic low-quality signal doc-level
+# dedup can't see: the fraction of duplicate LINES and duplicate word
+# 2-GRAMS inside one document (Rae et al. 2021 "Scaling Language
+# Models", the MassiveText repetition filters).  Pure per-doc Column
+# math over split/array ops — one narrow pass, ratios rounded to 4 dp on
+# both engines.
+
+def q_text_repetition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    lines = F.filter(F.split("text", r"\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines)))
+        / F.greatest(n_lines, F.lit(1)).cast("double"), 4)
+    toks = _ws_tokens()
+    # word 2-grams via zip_with over the token array and its tail —
+    # array-sized docs keep this a per-row expression, no explode/shuffle
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))")
+    n_bi = F.size(F.col("bigrams"))
+    dup_bigram_frac = F.round(
+        (n_bi - F.size(F.array_distinct("bigrams")))
+        / F.greatest(n_bi, F.lit(1)).cast("double"), 4)
+    return (
+        docs.withColumn("toks", toks)
+        .withColumn("bigrams", bigrams)
+        .select(
+            "doc_id",
+            n_lines.alias("n_lines"),
+            dup_line_frac.alias("dup_line_frac"),
+            n_bi.alias("n_bigrams"),
+            dup_bigram_frac.alias("dup_bigram_frac"),
+        )
+    )
+
+
+SQL_TEXT_REPETITION = r"""
+SELECT doc_id,
+       len(lines) AS n_lines,
+       round((len(lines) - len(list_distinct(lines)))
+             / greatest(len(lines), 1)::DOUBLE, 4) AS dup_line_frac,
+       greatest(len(toks) - 1, 0) AS n_bigrams,
+       round((greatest(len(toks) - 1, 0) - len(list_distinct(bigrams)))
+             / greatest(greatest(len(toks) - 1, 0), 1)::DOUBLE, 4)
+         AS dup_bigram_frac
+FROM (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+         END AS bigrams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+           list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+)
+"""
+
+
+# -- per-language corpus stats -------------------------------------------------------
+# The curation report a corpus owner reads before training: per-language
+# doc counts and the token-count distribution (exact interpolated median
+# + p90 — Spark percentile() and DuckDB quantile_cont share semantics,
+# proven by the stats_percentile twin).  One groupBy on the
+# low-cardinality lang key.
+
+def q_corpus_stats_by_lang(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(_ws_tokens())
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_STATS_BY_LANG = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE), 4) AS p50_tokens,
+       round(CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE), 4) AS p90_tokens
+FROM (
+  SELECT lang,
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+             x -> x <> '')) AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
 # -- deterministic stratified sampling ----------------------------------------------
 # Corpus downsampling stratified by language: keep each doc with a
 # per-lang probability decided by a hash threshold (md5 of a salted
@@ -365,6 +468,8 @@ QUERIES = {
     "kg_stage0_identity": q_kg_stage0_identity,
     "text_pii_scrub": q_text_pii_scrub,
     "corpus_sample_stratified": q_corpus_sample_stratified,
+    "text_repetition": q_text_repetition,
+    "corpus_stats_by_lang": q_corpus_stats_by_lang,
 }
 
 ORACLES = {
@@ -378,4 +483,6 @@ ORACLES = {
     "kg_stage0_identity": SQL_KG_STAGE0_IDENTITY,
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "corpus_sample_stratified": SQL_CORPUS_SAMPLE_STRATIFIED,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "corpus_stats_by_lang": SQL_CORPUS_STATS_BY_LANG,
 }

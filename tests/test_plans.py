@@ -143,3 +143,13 @@ def test_decontaminate_broadcasts_benchmark_fps(spark):
     plan = _plan(dedup.q_corpus_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_text_repetition_is_shuffle_free(spark):
+    """Repetition signals are per-row array math — no explode, no
+    shuffle; the plan must contain zero exchanges."""
+    from kgmwcp.ops import textops
+
+    plan = _plan(textops.q_text_repetition(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
