@@ -144,6 +144,11 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
     # option value — and silently skip the requested run): all other
     # flags are still validated, then the schema branch exits early.
     args = _parse_args(argv)
+    if args.include_file_data:
+        # genuinely implies --residuals (the help text's promise): the
+        # residuals table + residual_files/ materialization come too;
+        # applied once here so every branch (batch/stdin/serve) agrees
+        args.residuals = True
     if args.schema:
         from kgmwcp.schema import report_json_schema
 
@@ -176,8 +181,6 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
 
         owns_spark = spark is None
         spark = spark or get_spark("kgmwcp-serve", master=args.master)
-        if args.include_file_data:
-            args.residuals = True
         httpd = make_server(spark, host=args.host, port=args.port,
                             config=_config_from_args(args))
         host, port = httpd.server_address[:2]
@@ -205,10 +208,6 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
               "(the streaming source drains a parquet drop-folder)",
               file=_sys0.stderr)
         raise SystemExit(2)
-    if args.include_file_data:
-        # genuinely implies --residuals (the help text's promise): the
-        # residuals table + residual_files/ materialization come too
-        args.residuals = True
     from kgmwcp.pipeline import Pipeline
     from kgmwcp.session import get_spark
 
@@ -282,14 +281,15 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         if args.residuals:
             table_names += ("residuals",)
         for name in table_names:
-            df = tables[name]
-            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
-            summary[name] = spark.read.parquet(f"{args.output}/{name}").count()
+            tables[name].write.mode("overwrite").parquet(
+                f"{args.output}/{name}")
+            # read back the materialized copy once: count + optional
+            # catalog export both ride it, and the extract stage never
+            # re-runs per sink
+            materialized = spark.read.parquet(f"{args.output}/{name}")
+            summary[name] = materialized.count()
             if args.export_iceberg:
-                # catalog export reads back the just-written parquet (the
-                # post-barrier materialized copy) so the extract stage
-                # doesn't re-run per sink
-                (spark.read.parquet(f"{args.output}/{name}")
+                (materialized
                  .writeTo(f"{args.export_iceberg}_{name}")
                  .createOrReplace())
         metrics = Pipeline.metrics(tables["records"])

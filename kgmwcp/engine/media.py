@@ -79,27 +79,38 @@ def parse_bmp(payload: bytes) -> Optional[dict]:
     }
 
 
-def parse_wav(payload: bytes) -> Optional[dict]:
-    """(channels, sample_rate, duration_ms, n_bytes) via a RIFF chunk
-    walk to the fmt / data chunks (chunk order is not fixed by the spec)."""
+def _walk_riff(payload: bytes):
+    """One RIFF chunk walk shared by parse_wav and wav_features:
+    (channels, sample_rate, bits, data_off, data_size) or None when the
+    container/fmt/data chunks are missing or carry degenerate zeros
+    (chunk order is not fixed by the spec; chunks pad to even offsets)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos = 12
     channels = sample_rate = bits = None
-    data_size = None
+    data_off = data_size = None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         if cid == b"fmt " and pos + 8 + 16 <= len(payload):
             _fmt, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
             bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
         elif cid == b"data":
-            data_size = size
-        pos += 8 + size + (size & 1)   # chunks pad to even offsets
+            data_off, data_size = pos + 8, size
+        pos += 8 + size + (size & 1)
     if channels is None or data_size is None:
         return None
     # corrupt fmt chunks can carry zeros — reject instead of dividing
     if not channels or not sample_rate or bits not in (8, 16, 24, 32):
         return None
+    return channels, sample_rate, bits, data_off, data_size
+
+
+def parse_wav(payload: bytes) -> Optional[dict]:
+    """(channels, sample_rate, duration_ms, n_bytes) from the RIFF walk."""
+    walked = _walk_riff(payload)
+    if walked is None:
+        return None
+    channels, sample_rate, bits, _data_off, data_size = walked
     n_samples = data_size // (channels * (bits // 8))
     return {
         "channels": channels,
@@ -149,20 +160,11 @@ def resize_bmp_nearest(payload: bytes, out_width: int = None,
 def wav_features(payload: bytes) -> Optional[dict]:
     """Real feature extraction from decoded 16-bit PCM samples: frame
     count, sum of absolute amplitudes, peak amplitude — all integer
-    arithmetic, so a declarative twin can match bit-for-bit.  Walks the
-    RIFF chunks for the data offset (parse_wav only returns sizes) and
-    reads the actual sample words."""
-    info = parse_wav(payload)
-    if info is None:
+    arithmetic, so a declarative twin can match bit-for-bit."""
+    walked = _walk_riff(payload)
+    if walked is None:
         return None
-    pos, data_off, data_size, bits = 12, None, None, None
-    while pos + 8 <= len(payload):
-        cid, size = struct.unpack_from("<4sI", payload, pos)
-        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
-            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
-        elif cid == b"data":
-            data_off, data_size = pos + 8, size
-        pos += 8 + size + (size & 1)
+    channels, _sample_rate, bits, data_off, data_size = walked
     if bits != 16:  # only 16-bit PCM features are implemented
         return None
     if data_off is None or data_off + data_size > len(payload):
@@ -172,8 +174,8 @@ def wav_features(payload: bytes) -> Optional[dict]:
     sum_abs = sum(abs(s) for s in samples)
     peak = max((abs(s) for s in samples), default=0)
     return {
-        "n_frames": n_words // info["channels"],
-        "channels": info["channels"],
+        "n_frames": n_words // channels,
+        "channels": channels,
         "sum_abs": sum_abs,
         "peak": peak,
     }

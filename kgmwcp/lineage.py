@@ -21,14 +21,19 @@ from typing import Optional, Set
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["CheckpointedRun", "read_manifest", "completed_buckets"]
+__all__ = ["CheckpointedRun", "read_manifest", "completed_buckets",
+           "read_jsonl_tolerant"]
 
 MANIFEST_NAME = "manifest.jsonl"
 RECORDS_DIR = "records"
 
 
-def read_manifest(out_dir: str) -> list:
-    path = pathlib.Path(out_dir) / MANIFEST_NAME
+def read_jsonl_tolerant(path) -> list:
+    """JSONL entries, skipping torn/partial lines — the crash-mid-append
+    window every manifest commit here must heal (a torn line simply means
+    that unit isn't committed and re-runs idempotently).  Shared by the
+    batch bucket manifest and the streaming batch manifest."""
+    path = pathlib.Path(path)
     if not path.exists():
         return []
     entries = []
@@ -40,11 +45,12 @@ def read_manifest(out_dir: str) -> list:
             try:
                 entries.append(json.loads(line))
             except json.JSONDecodeError:
-                # torn trailing line from a crash mid-write (the exact
-                # window fail_after_buckets simulates): skip it — the
-                # bucket simply isn't committed and re-runs idempotently
                 continue
     return entries
+
+
+def read_manifest(out_dir: str) -> list:
+    return read_jsonl_tolerant(pathlib.Path(out_dir) / MANIFEST_NAME)
 
 
 def completed_buckets(out_dir: str) -> Set[int]:

@@ -73,24 +73,11 @@ STREAM_MANIFEST_NAME = "stream_manifest.jsonl"
 
 
 def _stream_manifest_entries(path) -> list:
-    """Committed micro-batch ids, tolerant of a torn trailing line (the
-    crash-mid-append window) — same healing rule as lineage.read_manifest."""
-    import pathlib
+    """Committed micro-batch entries — the same torn-line-tolerant read
+    the batch bucket manifest uses."""
+    from kgmwcp.lineage import read_jsonl_tolerant
 
-    p = pathlib.Path(path)
-    if not p.exists():
-        return []
-    entries = []
-    with p.open() as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                entries.append(json.loads(line))
-            except json.JSONDecodeError:
-                continue
-    return entries
+    return read_jsonl_tolerant(path)
 
 
 def run_available_now(spark: SparkSession, source_dir: str, out_dir: str,

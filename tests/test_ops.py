@@ -55,6 +55,27 @@ ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
 
+def _duck_on(sf: str, tables=("documents",)):
+    """DuckDB connection with the given parquet datasets as views —
+    for tests that build their own fixture dirs."""
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf}/{t}.parquet/*.parquet'")
+    return con
+
+
+def _assert_oracle_parity(spark, con, names, sf):
+    """The driver's compare (rows + columns + order-insensitive values)
+    for a subset of entries against a custom fixture dir."""
+    for name in names:
+        df = QUERIES[name](spark, sf)
+        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
+        res = con.execute(ORACLES[name])
+        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
+        assert spark_set == duck_set, name
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
@@ -105,8 +126,6 @@ def test_hot_key_caps_bound_degenerate_fixtures(spark, tmp_path):
     going quadratic, and the per-fingerprint id list must stay bounded at
     _SPAN_IDS_CAP while n_docs stays exact.  Oracle parity holds on the
     same degenerate fixture."""
-    import duckdb as _duckdb
-
     from kgmwcp.ops import dedup as dd
 
     n_docs = dd._SIG_CAP + 36  # 100 > both caps
@@ -135,15 +154,9 @@ def test_hot_key_caps_bound_degenerate_fixtures(spark, tmp_path):
     assert all(a > 9000 for a, _ in pairs), "over-cap bucket leaked pairs"
     assert (9001, 9002) in pairs
 
-    con = _duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * "
-                f"FROM '{sf}/documents.parquet/*.parquet'")
-    for name in ("dedup_ngram_jaccard", "dedup_substring_spans"):
-        df = QUERIES[name](spark, sf)
-        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
-        res = con.execute(ORACLES[name])
-        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
-        assert spark_set == duck_set, name
+    _assert_oracle_parity(
+        spark, _duck_on(sf),
+        ("dedup_ngram_jaccard", "dedup_substring_spans"), sf)
 
 
 def test_pii_scrub_and_decontaminate_planted(spark, tmp_path):
@@ -151,8 +164,6 @@ def test_pii_scrub_and_decontaminate_planted(spark, tmp_path):
     tokens and counts them; decontamination flags the doc sharing an
     8-token span with the benchmark slice (doc_id % 50 == 0) and not
     the clean doc.  Oracle parity on the same planted fixture."""
-    import duckdb as _duckdb
-
     shared = "alpha bravo charlie delta echo foxtrot golf hotel"
     rows = [
         (50, f"benchmark doc: {shared} plus trailing words here", "en", "s", 1),
@@ -180,16 +191,10 @@ def test_pii_scrub_and_decontaminate_planted(spark, tmp_path):
     assert decon[1]["contaminated"] and decon[1]["n_hits"] == 1
     assert not decon[3]["contaminated"] and decon[3]["n_hits"] == 0
 
-    con = _duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * "
-                f"FROM '{sf}/documents.parquet/*.parquet'")
-    for name in ("text_pii_scrub", "corpus_decontaminate",
-                 "corpus_sample_stratified"):
-        df = QUERIES[name](spark, sf)
-        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
-        res = con.execute(ORACLES[name])
-        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
-        assert spark_set == duck_set, name
+    _assert_oracle_parity(
+        spark, _duck_on(sf),
+        ("text_pii_scrub", "corpus_decontaminate",
+         "corpus_sample_stratified"), sf)
 
 
 def test_cluster_convergence_flag(spark):
@@ -264,8 +269,6 @@ def test_ann_recall_on_clustered_fixture(spark, tmp_path):
     score 0.3/0.0 recall on the driver's near-random vectors must reach
     recall@10 >= 0.8 — and stay oracle-green (DuckDB computes the same
     approximation on the same fixture)."""
-    import duckdb as _duckdb
-
     from kgmwcp import fixtures
 
     sf = str(tmp_path)
@@ -279,16 +282,10 @@ def test_ann_recall_on_clustered_fixture(spark, tmp_path):
     assert recalls["ivf"] >= 0.8, recalls
     assert recalls["lsh"] >= 0.8, recalls
 
-    con = _duckdb.connect()
-    con.execute(f"CREATE VIEW embeddings AS SELECT * "
-                f"FROM '{sf}/embeddings.parquet/*.parquet'")
-    for name in ("ann_topk_bruteforce", "ann_ivf", "ann_lsh_bucketed",
-                 "ann_recall_eval"):
-        df = QUERIES[name](spark, sf)
-        spark_set, _ = _rowset([tuple(r) for r in df.collect()], df.columns)
-        res = con.execute(ORACLES[name])
-        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
-        assert spark_set == duck_set, name
+    _assert_oracle_parity(
+        spark, _duck_on(sf, tables=("embeddings",)),
+        ("ann_topk_bruteforce", "ann_ivf", "ann_lsh_bucketed",
+         "ann_recall_eval"), sf)
 
 
 def test_curate_reuses_precomputed_labels(spark):
@@ -312,23 +309,13 @@ def test_ws_class_agrees_on_vertical_tab(spark, tmp_path):
     """Java \\s includes \\x0B, RE2's does not — the explicit whitespace
     class must make both engines tokenize identically on such text
     (code-review finding)."""
-    import duckdb as _duckdb
-
     sf = str(tmp_path)
     spark.createDataFrame(
         [(1, "a\x0bb c word word word word word word", "en", "s", 36),
          (2, "plain text with enough words to pass here", "en", "s", 41)],
         "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
-    con = _duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * "
-        f"FROM '{sf}/documents.parquet/*.parquet'")
-    for name in ("text_quality", "text_token_count", "doc_fingerprint",
-                 "dedup_substring_spans"):
-        df = QUERIES[name](spark, sf)
-        spark_set, spark_cols = _rowset(
-            [tuple(r) for r in df.collect()], df.columns)
-        res = con.execute(ORACLES[name])
-        duck_set, _ = _rowset(res.fetchall(), [d[0] for d in res.description])
-        assert spark_set == duck_set, name
+    _assert_oracle_parity(
+        spark, _duck_on(sf),
+        ("text_quality", "text_token_count", "doc_fingerprint",
+         "dedup_substring_spans"), sf)
