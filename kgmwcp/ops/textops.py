@@ -457,6 +457,44 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """.format(en=_SAMPLE_THRESHOLD_EN, other=_SAMPLE_THRESHOLD_OTHER)
 
 
+# -- entity co-occurrence (KG edge weighting) ---------------------------------------
+# The classic KG-construction weighting query: distinct keyword pairs
+# appearing in the same document, weighted by supporting-document count.
+# Shuffle profile: mentions are distinct (doc_id, token) rows with a
+# FIXED small vocabulary, so the per-doc self-join blowup is bounded by
+# |V| choose 2 regardless of corpus size; the pair aggregate is
+# low-cardinality.
+
+def q_kg_entity_cooccurrence(spark, sf_dir):
+    m = q_kg_token_mentions(spark, sf_dir)
+    return (
+        m.alias("a").join(m.alias("b"), "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_KG_ENTITY_COOCCURRENCE = r"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+)
+SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_docs
+FROM mentions a JOIN mentions b USING (doc_id)
+WHERE a.token < b.token
+GROUP BY token_a, token_b HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_bpe_tokens": q_text_bpe_tokens,
@@ -470,6 +508,7 @@ QUERIES = {
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "text_repetition": q_text_repetition,
     "corpus_stats_by_lang": q_corpus_stats_by_lang,
+    "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
 }
 
 ORACLES = {
@@ -485,4 +524,5 @@ ORACLES = {
     "corpus_sample_stratified": SQL_CORPUS_SAMPLE_STRATIFIED,
     "text_repetition": SQL_TEXT_REPETITION,
     "corpus_stats_by_lang": SQL_CORPUS_STATS_BY_LANG,
+    "kg_entity_cooccurrence": SQL_KG_ENTITY_COOCCURRENCE,
 }

@@ -60,3 +60,29 @@ def test_update_goldens_diff_clean_on_head(spark):
         assert not only_p and not only_g, (
             f"{name}: pipeline drifted from committed goldens "
             f"({len(only_p)} pipeline-only, {len(only_g)} golden-only)")
+
+
+def test_update_goldens_promote_is_idempotent_on_head(tmp_path, monkeypatch):
+    """--promote regenerates golden/*.parquet from goldens.py; on HEAD
+    that must reproduce the committed bytes exactly (same check as the
+    rebuild pin, exercised through the promote code path)."""
+    import importlib.util
+    import pathlib
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "update_goldens",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "update_goldens.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    committed = pathlib.Path(mod.GOLDEN_DIR)
+    staging = tmp_path / "golden"
+    shutil.copytree(committed, staging)
+    monkeypatch.setattr(mod, "GOLDEN_DIR", str(staging))
+    mod.promote()
+    for name in mod.TABLES:
+        a = (committed / f"{name}.parquet").read_bytes()
+        b = (staging / f"{name}.parquet").read_bytes()
+        assert a == b, f"{name}: promote produced different bytes on HEAD"
