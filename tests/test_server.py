@@ -95,6 +95,27 @@ def test_run_parser_routed_group(http_server):
     assert status == 400 and "unknown parser group" in err["errors"][0]
 
 
+def test_concurrent_requests(http_server):
+    """ThreadingHTTPServer + one shared SparkSession: simultaneous
+    uploads must each get their own correct report (per-request
+    DataFrames are independent; Spark schedules concurrent jobs)."""
+    import concurrent.futures
+
+    def upload(i):
+        payload = (fixtures.FOO_TEXT + f"\n# concurrent {i}\n").encode()
+        body, ctype = _multipart(payload, f"c{i}.txt",
+                                 fields={"parser": "foo"})
+        status, report = _post(http_server + "/run_parser", body, ctype)
+        return status, report, hashlib.sha256(payload).hexdigest()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(upload, range(3)))
+    for i, (status, report, digest) in enumerate(results):
+        assert status == 200
+        assert report["input_file"]["name"] == f"c{i}.txt"
+        assert report["input_file"]["sha256"] == digest
+
+
 def test_run_parser_no_data(http_server):
     body, ctype = _multipart(b"", "empty.txt")
     status, err = _post(http_server + "/run_parser", body, ctype)
