@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from kgmwcp.ops import dedup as _dedup  # noqa: E402
+from kgmwcp.ops import graph as _graph  # noqa: E402
 from kgmwcp.ops import multimodal as _multimodal  # noqa: E402
 from kgmwcp.ops import relational as _relational  # noqa: E402
 from kgmwcp.ops import similarity as _similarity  # noqa: E402
@@ -105,7 +106,7 @@ def _stix_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.run(corpus)["stix"]
 
 
-_SUITES = [_relational, _textops, _dedup, _similarity, _multimodal]
+_SUITES = [_relational, _textops, _dedup, _similarity, _multimodal, _graph]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

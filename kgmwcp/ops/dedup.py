@@ -850,8 +850,99 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 """).format(cap=_SIG_CAP)
 
 
+# -- per-doc boilerplate fraction (segment-level dedup rollup) ----------------
+# The curation-side inverse of dedup_substring_spans: instead of emitting
+# span→docs rows, roll up per document "what fraction of MY content is
+# duplicated elsewhere" (the CCNet/RefinedWeb paragraph-dedup signal, over
+# fixed 8-token segments because the driver corpus is single-line word
+# streams with no newline paragraphs).  Scale shape: one explode (stride ==
+# window, so each token appears in exactly one segment — corpus token count,
+# not 8x), one md5-keyed groupBy (skew-free key space; a hot boilerplate
+# segment is a single key whose count-distinct is computed with map-side
+# partial aggregation, not a join fanout), one join back + per-doc agg.
+
+def q_text_boilerplate_frac(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), _WS_RE), lambda x: x != "").alias("toks"),
+    )
+    seg = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 8,
+                    F.sequence(F.lit(1), F.size("toks") - 7, F.lit(8)),
+                ).otherwise(F.array())
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.array_join(F.slice("toks", F.col("start"), 8), " "), "utf-8"
+                )
+            ).alias("ph"),
+        )
+    )
+    counts = seg.groupBy("ph").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        seg.join(counts, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_segs"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_dup_segs", F.lit(0)).alias("n_dup_segs"),
+            F.round(
+                F.coalesce("n_dup_segs", F.lit(0))
+                / F.greatest(F.coalesce("n_segs", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+SQL_TEXT_BOILERPLATE_FRAC = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, md5(array_to_string(toks[start : start + 7], ' ')) AS ph
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 7, 8)) AS start
+        FROM toks WHERE len(toks) >= 8)
+),
+counts AS (SELECT ph, count(DISTINCT doc_id) AS nd FROM seg GROUP BY ph),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_segs,
+         sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segs
+  FROM seg JOIN counts USING (ph) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_segs, 0) AS n_segs,
+       coalesce(n_dup_segs, 0) AS n_dup_segs,
+       round(coalesce(n_dup_segs, 0)::DOUBLE
+             / greatest(coalesce(n_segs, 0), 1), 4) AS boilerplate_frac
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "text_boilerplate_frac": q_text_boilerplate_frac,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -862,6 +953,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_boilerplate_frac": SQL_TEXT_BOILERPLATE_FRAC,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "curate_corpus": SQL_CURATE_CORPUS,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,

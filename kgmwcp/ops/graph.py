@@ -1,0 +1,167 @@
+"""Graph analytics over the constructed knowledge graph — PageRank on the
+doc↔entity mention graph (the KG analogue of ranking hot IOC entities the
+way the reference's report consumers rank common C2 infrastructure across
+samples; cf. /root/reference/mwcp/report.py aggregation semantics).
+
+Scale shape: each power-iteration round is one join (ranks → edges on
+``src``) plus one sum-aggregate on ``dst`` — the canonical shuffle-per-
+iteration PageRank plan.  Edge lists partition by src/dst hash; hot
+entities (a token mentioned by every doc) are *receivers* of a sum
+aggregate, which Spark computes with map-side partial aggregation, so a
+high-in-degree node is NOT a skew problem (unlike a hot join key).  The
+iteration count is fixed (``_PR_ITERS``) so the DuckDB oracle can unroll
+the exact same rounds as chained CTEs — no recursive-CTE aggregation
+restrictions, bit-comparable at 4 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["QUERIES", "ORACLES", "pagerank"]
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+_KEYWORDS_RX = r"\b(spark|join|merge|hash|scan|window|stream)\b"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
+             damping: float = _PR_DAMPING) -> DataFrame:
+    """Weighted-degree-free PageRank over an (src, dst) edge list.
+
+    Returns (node, rank) with ranks normalized so they sum to 1 over the
+    nodes that appear in ``edges``.  Every iteration: contribution =
+    rank/outdeg flowing along each edge, summed per dst, damped.  Nodes
+    with no in-edges keep the teleport term.  Generic over any edge
+    table — the query below feeds it the doc↔entity mention graph; the
+    production KG feeds it nodes/edges from stages/link.py.
+    """
+    edges = edges.select("src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # carry the scalar as a column (broadcast 1-row cross join, no collect)
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for i in range(iters):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(F.broadcast(outdeg), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.select("node", "n_nodes")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "n_nodes",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 4 == 0:
+            # truncate the join-per-round lineage like dedup_cluster does
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the bipartite doc↔entity mention graph: nodes are
+    ``d:<doc_id>`` and ``t:<token>``, one edge each way per distinct
+    mention.  Output rank is scaled by N (mean-normalized) and rounded
+    to 4 dp for engine-portable hashing."""
+    docs = _docs(spark, sf_dir)
+    mentions = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "scan")
+        .dropDuplicates(["doc_id", "token"])
+    )
+    fwd = mentions.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), "token").alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+    ranks = pagerank(edges)
+    n_nodes = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return (
+        ranks.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
+        )
+    )
+
+
+def _pr_oracle() -> str:
+    """Unrolled power-iteration CTE chain mirroring pagerank() exactly."""
+    d = _PR_DAMPING
+    head = r"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+),
+edges AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst FROM mentions
+  UNION ALL
+  SELECT 't:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM mentions
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(f""",
+pr{i + 1} AS (
+  SELECT nodes.node,
+         (1.0::DOUBLE - {d}) / (SELECT n FROM nn)
+         + {d} * coalesce(c.contrib, 0.0::DOUBLE) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / o.outdeg) AS contrib
+    FROM pr{i} p JOIN edges e ON e.src = p.node
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+)""")
+    tail = f"""
+SELECT node, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM pr{_PR_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_KG_PAGERANK = _pr_oracle()
+
+
+QUERIES = {
+    "kg_pagerank": q_kg_pagerank,
+}
+
+ORACLES = {
+    "kg_pagerank": SQL_KG_PAGERANK,
+}

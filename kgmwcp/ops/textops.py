@@ -495,8 +495,130 @@ GROUP BY token_a, token_b HAVING count(*) >= 2
 """
 
 
+# -- training-sequence chunking ----------------------------------------------
+# Fixed-window token chunks with overlap (the "prepare training sequences"
+# pass: 64-token windows, 16-token overlap → stride 48; the ragged last
+# chunk keeps every trailing token).  Mapper-only + explode — ZERO shuffle:
+# chunk boundaries come from sequence(), the chunk fingerprint is an md5
+# over the joined token slice, so downstream chunk-level dedup can reuse
+# the exact-dedup groupBy.  At 100 TB this is a pure scan→emit stage that
+# scales linearly with input bytes.
+
+_CHUNK = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK - _CHUNK_OVERLAP
+
+
+def q_text_chunking(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = (
+        docs.select("doc_id", _ws_tokens().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    c = t.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("n") - _CHUNK_OVERLAP, F.lit(1)),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    return c.select(
+        "doc_id",
+        (F.floor((F.col("start") - 1) / _CHUNK_STRIDE) + 1).alias("chunk_idx"),
+        F.col("start").alias("start_tok"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("start") + 1).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(
+            F.encode(
+                F.array_join(F.slice("toks", F.col("start"), _CHUNK), " "), "utf-8"
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+SQL_TEXT_CHUNKING = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(toks) AS n, toks,
+         unnest(generate_series(1, greatest(len(toks) - {ov}, 1), {st})) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       (start - 1) // {st} + 1 AS chunk_idx,
+       start AS start_tok,
+       least({ck}, n - start + 1) AS n_chunk_tokens,
+       md5(array_to_string(toks[start : start + {ck} - 1], ' ')) AS chunk_md5
+FROM c
+""".format(ck=_CHUNK, ov=_CHUNK_OVERLAP, st=_CHUNK_STRIDE)
+
+
+# -- source mixture weights ---------------------------------------------------
+# Per-source sampling weights that rebalance the corpus token mass to a
+# uniform target mixture (the "domain mixing" knob in pre-training data
+# recipes).  One low-cardinality groupBy + a broadcast 1-row total — the
+# whole op is two tiny shuffles regardless of corpus size.
+
+def q_corpus_mixture_weights(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.size(_ws_tokens()).alias("nt"))
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 4).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 4).alias(
+            "mixture_weight"
+        ),
+    )
+
+
+SQL_CORPUS_MIXTURE_WEIGHTS = r"""
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+per AS (
+  SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
+  FROM tok GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens)::DOUBLE AS tot_tokens, count(*)::DOUBLE AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot_tokens, 4) AS token_share,
+       round((1.0::DOUBLE / n_sources) / (n_tokens / tot_tokens), 4)
+         AS mixture_weight
+FROM per, tot
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
+    "text_chunking": q_text_chunking,
+    "corpus_mixture_weights": q_corpus_mixture_weights,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -513,6 +635,8 @@ QUERIES = {
 
 ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_chunking": SQL_TEXT_CHUNKING,
+    "corpus_mixture_weights": SQL_CORPUS_MIXTURE_WEIGHTS,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

@@ -319,3 +319,91 @@ def test_ws_class_agrees_on_vertical_tab(spark, tmp_path):
         spark, _duck_on(sf),
         ("text_quality", "text_token_count", "doc_fingerprint",
          "dedup_substring_spans"), sf)
+
+
+def test_pagerank_star_graph(spark):
+    """Generic pagerank() sanity on a symmetric star: mass conserved
+    (no dangling nodes), the hub outranks every leaf, leaves tie."""
+    from kgmwcp.ops.graph import pagerank
+
+    leaves = [f"l{i}" for i in range(1, 5)]
+    edges = [("c", l) for l in leaves] + [(l, "c") for l in leaves]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edf).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    leaf_ranks = {ranks[l] for l in leaves}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+    assert ranks["c"] > max(leaf_ranks)
+
+
+def test_pagerank_dangling_node_keeps_teleport(spark):
+    """A node with in-edges but no out-edges (dangling) leaks its mass;
+    every node still gets at least the teleport floor and the op stays
+    well-defined (both engines compute the same leak)."""
+    from kgmwcp.ops.graph import pagerank
+
+    edf = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")  # c dangling
+    ranks = {r["node"]: r["rank"] for r in pagerank(edf).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    floor = (1 - 0.85) / 3
+    assert all(v >= floor - 1e-12 for v in ranks.values())
+    assert ranks["c"] > ranks["a"]  # receiver beats pure source
+
+
+def test_boilerplate_frac_planted(spark, tmp_path):
+    """Two template copies -> every 8-token segment duplicated (frac 1.0);
+    a unique doc -> 0.0; a short doc (<8 tokens) -> zero segments, 0.0.
+    Oracle parity on the same fixture."""
+    template = " ".join(f"w{i}" for i in range(16))          # 2 segments
+    unique = " ".join(f"u{i}" for i in range(16))
+    rows = [(1, template, "en", "s", 1), (2, template, "en", "s", 1),
+            (3, unique, "en", "s", 1), (4, "too short here", "en", "s", 1)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r["doc_id"]: r
+           for r in QUERIES["text_boilerplate_frac"](spark, sf).collect()}
+    assert out[1]["n_segs"] == 2 and out[1]["boilerplate_frac"] == 1.0
+    assert out[2]["boilerplate_frac"] == 1.0
+    assert out[3]["n_segs"] == 2 and out[3]["boilerplate_frac"] == 0.0
+    assert out[4]["n_segs"] == 0 and out[4]["boilerplate_frac"] == 0.0
+
+    _assert_oracle_parity(spark, _duck_on(sf), ("text_boilerplate_frac",), sf)
+
+
+def test_chunking_boundaries(spark, tmp_path):
+    """Window arithmetic at the edges: 64 tokens -> one chunk; 65 -> two
+    (the second keeps the 16-token overlap + the 1 new token); short docs
+    get one ragged chunk; the md5 is over the exact joined token slice."""
+    import hashlib
+
+    t64 = " ".join(f"a{i}" for i in range(64))
+    t65 = " ".join(f"b{i}" for i in range(65))
+    t10 = " ".join(f"c{i}" for i in range(10))
+    rows = [(1, t64, "en", "s", 1), (2, t65, "en", "s", 1),
+            (3, t10, "en", "s", 1)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    by_doc = {}
+    for r in QUERIES["text_chunking"](spark, sf).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 64
+    two = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in two] == \
+        [(1, 64), (49, 17)]
+    expected = hashlib.md5(
+        " ".join(f"b{i}" for i in range(48, 65)).encode()).hexdigest()
+    assert two[1]["chunk_md5"] == expected
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 10
+
+    _assert_oracle_parity(
+        spark, _duck_on(sf),
+        ("text_chunking", "corpus_mixture_weights"), sf)

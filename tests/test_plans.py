@@ -128,7 +128,8 @@ def test_mapper_only_ops_have_zero_shuffle(spark):
     that compose into whatever runs next)."""
     from kgmwcp.ops import textops
 
-    for fn in (textops.q_text_pii_scrub, textops.q_corpus_sample_stratified):
+    for fn in (textops.q_text_pii_scrub, textops.q_corpus_sample_stratified,
+               textops.q_text_chunking):
         plan = _plan(fn(spark, SF))
         assert "Exchange hashpartitioning" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
