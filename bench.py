@@ -53,6 +53,11 @@ EXTENDED_OPS = [
     "corpus_sample_stratified",
     "multimodal_resize",
     "multimodal_features",
+    # round-4 second wave
+    "kg_pagerank",
+    "text_boilerplate_frac",
+    "text_chunking",
+    "corpus_mixture_weights",
 ]
 
 
