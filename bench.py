@@ -55,6 +55,7 @@ EXTENDED_OPS = [
     "multimodal_features",
     # round-4 second wave
     "kg_pagerank",
+    "dedup_incremental",
     "text_boilerplate_frac",
     "text_chunking",
     "corpus_mixture_weights",

@@ -118,10 +118,9 @@ def _affine_coeffs() -> list[tuple[int, int]]:
 _COEFFS = _affine_coeffs()
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    from pyspark.sql import Window
-
-    docs = _docs(spark, sf_dir)
+def _minhash_bands(docs):
+    """(doc_id, band_key) LSH band table — the reusable signature index
+    (the thing a production corpus persists between daily delta runs)."""
     exploded = _shingles_exploded(docs)
     base = (
         F.conv(F.substring(F.md5(F.encode(F.col("shingle"), "utf-8")), 1, 15), 16, 10)
@@ -142,16 +141,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         )
         for j in range(_N_BANDS)
     ]
+    return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
     # persist the (tiny: 16 rows/doc) bands table: without it the
     # self-join's two aliases re-run the whole shingle+md5+128-agg
     # pipeline once each (measured: warm 5.2 s -> 1.0 s, cold 16.6 ->
     # 13.6 s at sf0.1)
     from pyspark.storagelevel import StorageLevel
 
-    bands = (
-        sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    bands = _minhash_bands(docs).persist(StorageLevel.MEMORY_AND_DISK)
     # window-count cap + self-join measured FASTER than
     # groupBy+collect_list+double-explode (3.3s vs 4.3s at sf0.1,
     # local[32] warm): the join reuses the window's band_key exchange,
@@ -176,7 +179,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return pairs
 
 
-def _sql_dedup_minhash_lsh() -> str:
+def _sql_bands_prefix() -> str:
+    """Shared CTE chain: documents → shingles → minhash sig → bands_raw."""
     mins = ",\n         ".join(
         f"min(({a} * b + {c}) % {_MINHASH_P}) AS mh_{i}"
         for i, (a, c) in enumerate(_COEFFS)
@@ -202,7 +206,12 @@ def _sql_dedup_minhash_lsh() -> str:
   FROM based GROUP BY doc_id
 ), bands_raw AS (
   SELECT doc_id, unnest([{keys}]) AS band_key FROM sig
-), bands AS (
+)"""
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    return _sql_bands_prefix() + f"""
+, bands AS (
   SELECT doc_id, band_key FROM (
     SELECT doc_id, band_key,
            count(*) OVER (PARTITION BY band_key) AS bc
@@ -216,6 +225,84 @@ WHERE a.doc_id < b.doc_id
 
 
 SQL_DEDUP_MINHASH_LSH = _sql_dedup_minhash_lsh()
+
+
+# -- incremental (delta-vs-corpus) near-dup detection -------------------------
+# The production daily-ingest shape: a small delta batch is checked against
+# the standing corpus WITHOUT re-pairing the corpus with itself.  The
+# corpus band index is the persistable artifact (production loads it from
+# storage and only computes bands for the delta); here both sides derive
+# from one shared band pass split on doc_id % 4 so the DuckDB oracle can
+# restate it.  Scale bounds: the hot-band cap on the INDEX side caps
+# fan-out per delta band row at _BAND_CAP, so one delta doc generates at
+# most _N_BANDS * _BAND_CAP candidate rows regardless of corpus size, and
+# the join shuffles only on band_key (no corpus self-join anywhere).
+
+def q_dedup_incremental(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    bands = _minhash_bands(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_b = bands.filter(F.col("doc_id") % 4 != 0)
+    w = Window.partitionBy("band_key")
+    corpus_b = (
+        corpus_b.withColumn("bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("bc") <= _BAND_CAP)
+        .drop("bc")
+    )
+    delta_b = bands.filter(F.col("doc_id") % 4 == 0)
+    cand = (
+        delta_b.alias("d")
+        .join(corpus_b.alias("c"), "band_key")
+        .select(
+            F.col("d.doc_id").alias("doc_new"),
+            F.col("c.doc_id").alias("doc_ref"),
+        )
+        .dropDuplicates(["doc_new", "doc_ref"])
+    )
+    g = cand.groupBy("doc_new").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min("doc_ref").alias("ref_doc"),
+    )
+    delta_docs = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("doc_new")
+    )
+    return delta_docs.join(g, "doc_new", "left").select(
+        "doc_new",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        "ref_doc",
+        (F.coalesce("n_candidates", F.lit(0)) > 0).alias("is_near_dup"),
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    return _sql_bands_prefix() + f"""
+, corpus_bands AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands_raw WHERE doc_id % 4 <> 0
+  ) WHERE bc <= {_BAND_CAP}
+), delta_bands AS (
+  SELECT doc_id, band_key FROM bands_raw WHERE doc_id % 4 = 0
+), cand AS (
+  SELECT DISTINCT d.doc_id AS doc_new, c.doc_id AS doc_ref
+  FROM delta_bands d JOIN corpus_bands c USING (band_key)
+), g AS (
+  SELECT doc_new, count(*) AS n_candidates, min(doc_ref) AS ref_doc
+  FROM cand GROUP BY doc_new
+)
+SELECT dd.doc_id AS doc_new,
+       coalesce(g.n_candidates, 0) AS n_candidates,
+       g.ref_doc AS ref_doc,
+       coalesce(g.n_candidates, 0) > 0 AS is_near_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) dd
+LEFT JOIN g ON g.doc_new = dd.doc_id
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
 # -- near-dup clustering (connected components over LSH pairs) -----------------
@@ -942,6 +1029,7 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "text_boilerplate_frac": q_text_boilerplate_frac,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -953,6 +1041,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "text_boilerplate_frac": SQL_TEXT_BOILERPLATE_FRAC,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "curate_corpus": SQL_CURATE_CORPUS,

@@ -407,3 +407,36 @@ def test_chunking_boundaries(spark, tmp_path):
     _assert_oracle_parity(
         spark, _duck_on(sf),
         ("text_chunking", "corpus_mixture_weights"), sf)
+
+
+def test_incremental_dedup_delta_vs_corpus_only(spark, tmp_path):
+    """Delta docs (doc_id % 4 == 0) are checked against the standing
+    corpus only: a delta↔corpus near-dup is flagged with its ref; two
+    identical delta docs do NOT flag each other; unique delta docs pass.
+    Oracle parity on the same fixture."""
+    shared = "the quick brown fox jumps over the lazy dog again today"
+    delta_only = "delta twins share this exact sentence of filler words here"
+    rows = [
+        (4, shared, "en", "s", 1),                # delta, dup of corpus 5
+        (5, shared, "en", "s", 1),                # corpus
+        (8, delta_only, "en", "s", 1),            # delta twin 1
+        (12, delta_only, "en", "s", 1),           # delta twin 2
+        (16, "completely unrelated unique content nothing matches this",
+         "en", "s", 1),                           # delta, clean
+        (3, "corpus background doc with its own words", "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r["doc_new"]: r
+           for r in QUERIES["dedup_incremental"](spark, sf).collect()}
+    assert set(out) == {4, 8, 12, 16}
+    assert out[4]["is_near_dup"] and out[4]["ref_doc"] == 5
+    assert not out[8]["is_near_dup"] and out[8]["ref_doc"] is None
+    assert not out[12]["is_near_dup"]
+    assert not out[16]["is_near_dup"]
+
+    _assert_oracle_parity(spark, _duck_on(sf), ("dedup_incremental",), sf)
