@@ -56,6 +56,7 @@ EXTENDED_OPS = [
     # round-4 second wave
     "kg_pagerank",
     "dedup_incremental",
+    "events_sessionize",
     "text_boilerplate_frac",
     "text_chunking",
     "corpus_mixture_weights",

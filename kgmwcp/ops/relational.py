@@ -476,8 +476,65 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- gap-based sessionization -------------------------------------------------
+# The canonical event-stream operator Spark expresses with one ordered
+# window pass: a session break is a >30-min gap between a user's
+# consecutive events; session_seq is the running sum of breaks.  Gap
+# arithmetic is exact int64 microseconds (unix_micros/epoch_us) — double
+# epoch-seconds would round-trip differently across engines at the
+# boundary.  Scale shape: one hash-exchange on user_id + an in-partition
+# sort; the per-session rollup reuses the same partitioning (no second
+# exchange for the groupBy beyond AQE coalescing).
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -501,6 +558,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,

@@ -440,3 +440,34 @@ def test_incremental_dedup_delta_vs_corpus_only(spark, tmp_path):
     assert not out[16]["is_near_dup"]
 
     _assert_oracle_parity(spark, _duck_on(sf), ("dedup_incremental",), sf)
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """29-min gap continues the session; 31-min gap opens a new one;
+    users partition independently.  Oracle parity on the same fixture."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + 29 * m, 7, "click", 2.0, "{}"),      # same session
+        (3, t0 + 29 * m + 31 * m, 7, "buy", 3.0, "{}"),  # new session
+        (4, t0, 8, "click", 5.0, "{}"),               # other user
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in QUERIES["events_sessionize"](spark, sf).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    assert out[(7, 1)]["n_events"] == 2 and out[(7, 1)]["total_value"] == 3.0
+    assert out[(7, 2)]["n_events"] == 1
+    assert out[(7, 1)]["session_end"] == "2024-01-01 00:29:00"
+
+    _assert_oracle_parity(spark, _duck_on(sf, tables=("events",)),
+                          ("events_sessionize",), sf)
