@@ -57,6 +57,8 @@ EXTENDED_OPS = [
     "kg_pagerank",
     "dedup_incremental",
     "events_sessionize",
+    "events_funnel",
+    "kg_pagerank_pipeline",
     "text_boilerplate_frac",
     "text_chunking",
     "corpus_mixture_weights",

@@ -16,6 +16,8 @@ restrictions, bit-comparable at 4 dp.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["QUERIES", "ORACLES", "pagerank"]
@@ -113,23 +115,14 @@ def q_kg_pagerank(spark, sf_dir):
     )
 
 
-def _pr_oracle() -> str:
-    """Unrolled power-iteration CTE chain mirroring pagerank() exactly."""
+def _pr_unrolled(with_edges_head: str) -> str:
+    """Unrolled power-iteration CTE chain mirroring pagerank() exactly.
+
+    ``with_edges_head`` must open a WITH clause whose last CTE is
+    ``edges(src, dst)``; the generator appends the degree/teleport
+    machinery plus _PR_ITERS identical rounds."""
     d = _PR_DAMPING
-    head = r"""
-WITH mentions AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text),
-                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
-    FROM documents
-  ) WHERE token <> 'scan'
-),
-edges AS (
-  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst FROM mentions
-  UNION ALL
-  SELECT 't:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM mentions
-),
+    core = """,
 outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
@@ -152,16 +145,88 @@ pr{i + 1} AS (
     tail = f"""
 SELECT node, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM pr{_PR_ITERS}
 """
-    return head + "".join(steps) + tail
+    return with_edges_head + core + "".join(steps) + tail
 
 
-SQL_KG_PAGERANK = _pr_oracle()
+SQL_KG_PAGERANK = _pr_unrolled(r"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+),
+edges AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst FROM mentions
+  UNION ALL
+  SELECT 't:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM mentions
+)""")
+
+
+# -- PageRank over the ACTUAL constructed knowledge graph ---------------------
+# The flagship composition: run the real extract+link pipeline on the
+# fixture corpus, take its (subj, pred, obj) triples as a bipartite
+# sample↔entity graph, and rank with the same pagerank().  The oracle is
+# fully engine-independent: the identical unrolled-CTE power iteration
+# over the committed golden triples parquet (kgmwcp/goldens.py derives it
+# from raw payloads with no engine code; pipeline==golden is separately
+# hash-pinned by the pipeline_fixture_triples row) — so this row proves
+# extraction AND graph analytics compose end-to-end.
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def q_kg_pagerank_pipeline(spark, sf_dir):
+    from kgmwcp import fixtures
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
+    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
+    triples = pipe.run(corpus)["triples"]
+    fwd = triples.select(
+        F.concat(F.lit("s:"), "subj").alias("src"),
+        F.concat(F.lit("e:"), "pred", F.lit("//"), "obj").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges)
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return ranks.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
+    )
+
+
+def _sql_kg_pagerank_pipeline() -> str:
+    g = os.path.join(_REPO_ROOT, "golden")
+    return _pr_unrolled(f"""
+WITH triples AS (
+  SELECT subj, pred, obj FROM read_parquet('{g}/pipeline_triples.parquet')
+),
+fwd AS (
+  SELECT 's:' || subj AS src, 'e:' || pred || '//' || obj AS dst FROM triples
+),
+edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+)""")
+
+
+SQL_KG_PAGERANK_PIPELINE = _sql_kg_pagerank_pipeline()
 
 
 QUERIES = {
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_pipeline": q_kg_pagerank_pipeline,
 }
 
 ORACLES = {
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_pagerank_pipeline": SQL_KG_PAGERANK_PIPELINE,
 }

@@ -532,9 +532,80 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# -- ordered funnel conversion ------------------------------------------------
+# signup → click → purchase, each step strictly after the previous one —
+# the staged-aggregation expression of MATCH_RECOGNIZE-style sequence
+# analytics: min-ts per stage, each stage's candidate events filtered by
+# the previous stage's timestamp via a user_id join.  Three shuffles all
+# on user_id (AQE reuses/coalesces the exchange); per-stage frames only
+# ever SHRINK, so the joins get cheaper down the funnel.
+
+def q_events_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("1_signup").alias("stage"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+    top = F.max(
+        F.when(F.col("stage") == "1_signup", F.col("n_users"))
+    ).over(Window.partitionBy())
+    return stages.select(
+        "stage", "n_users",
+        F.round(F.col("n_users") / top, 4).alias("conv_rate"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+), st AS (
+  SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+  UNION ALL SELECT '2_click', count(*) FROM s2
+  UNION ALL SELECT '3_purchase', count(*) FROM s3
+)
+SELECT stage, n_users,
+       round(n_users::DOUBLE
+             / max(CASE WHEN stage = '1_signup' THEN n_users END) OVER (), 4)
+         AS conv_rate
+FROM st
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_funnel": q_events_funnel,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -559,6 +630,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,

@@ -471,3 +471,43 @@ def test_sessionize_gap_boundary(spark, tmp_path):
 
     _assert_oracle_parity(spark, _duck_on(sf, tables=("events",)),
                           ("events_sessionize",), sf)
+
+
+def test_funnel_ordering_is_strict(spark, tmp_path):
+    """A click BEFORE signup doesn't count; strictly-after chaining per
+    stage; users without signup never enter the funnel.  Oracle parity."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: full funnel in order
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + m, 1, "click", 0.0, "{}"),
+        (3, t0 + 2 * m, 1, "purchase", 0.0, "{}"),
+        # user 2: click precedes signup -> stage 1 only
+        (4, t0, 2, "click", 0.0, "{}"),
+        (5, t0 + m, 2, "signup", 0.0, "{}"),
+        # user 3: purchase before click -> stops at click stage
+        (6, t0, 3, "signup", 0.0, "{}"),
+        (7, t0 + 2 * m, 3, "click", 0.0, "{}"),
+        (8, t0 + m, 3, "purchase", 0.0, "{}"),
+        # user 4: never signs up -> absent
+        (9, t0, 4, "click", 0.0, "{}"),
+        (10, t0 + m, 4, "purchase", 0.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    out = {r["stage"]: r for r in QUERIES["events_funnel"](spark, sf).collect()}
+    assert out["1_signup"]["n_users"] == 3
+    assert out["2_click"]["n_users"] == 2      # users 1 and 3
+    assert out["3_purchase"]["n_users"] == 1   # user 1 only
+    assert out["3_purchase"]["conv_rate"] == round(1 / 3, 4)
+
+    _assert_oracle_parity(spark, _duck_on(sf, tables=("events",)),
+                          ("events_funnel",), sf)
