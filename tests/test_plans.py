@@ -154,3 +154,13 @@ def test_text_repetition_is_shuffle_free(spark):
     plan = _plan(textops.q_text_repetition(spark, SF))
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """The per-session rollup must reuse the ordered window's user_id
+    exchange — one shuffle total, or the op pays twice at 100 TB."""
+    from kgmwcp.ops.relational import q_events_sessionize
+
+    plan = _plan(q_events_sessionize(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
