@@ -57,22 +57,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _pipeline_fixture_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline on the fixture corpus (rows-only check —
-    the fixture corpus is synthesized in-memory, DuckDB never sees it)."""
+    the fixture corpus is synthesized in-memory, DuckDB never sees it).
+    Scale/config come from fixtures.golden_* (ONE definition, shared with
+    ops/graph.py and the golden-parquet build)."""
     from kgmwcp import fixtures
-    from kgmwcp.pipeline import Pipeline, PipelineConfig
 
-    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
-    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
-    return pipe.run(corpus)["triples"]
+    return fixtures.golden_pipeline_tables(spark)["triples"]
 
 
 def _pipeline_fixture_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgmwcp import fixtures
-    from kgmwcp.pipeline import Pipeline, PipelineConfig
 
-    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
-    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
-    return pipe.run(corpus)["nodes"]
+    return fixtures.golden_pipeline_tables(spark)["nodes"]
 
 
 def _router_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,8 +79,9 @@ def _router_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgmwcp.stages.ingest import prepare_samples
     from kgmwcp.stages.router import route_samples
 
-    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
-    routed = route_samples(prepare_samples(corpus, n_buckets=16))
+    corpus = fixtures.golden_corpus(spark)
+    routed = route_samples(prepare_samples(
+        corpus, n_buckets=fixtures.GOLDEN_PIPELINE_CONFIG["n_buckets"]))
     return routed.select(
         "path",
         "route",
@@ -99,11 +96,8 @@ def _stix_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns (rows-only check; uuid5 parity vs python is pinned by
     tests/test_pipeline.py)."""
     from kgmwcp import fixtures
-    from kgmwcp.pipeline import Pipeline, PipelineConfig
 
-    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
-    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
-    return pipe.run(corpus)["stix"]
+    return fixtures.golden_pipeline_tables(spark)["stix"]
 
 
 _SUITES = [_relational, _textops, _dedup, _similarity, _multimodal, _graph]

@@ -359,6 +359,31 @@ def corpus_df(spark, replication: int = 1, hot_rows: int = 8):
     return spark.createDataFrame(corpus_rows(replication, hot_rows), schema)
 
 
+# The golden-parquet fixture scale: ONE definition shared by
+# __spark_entry__'s pipeline_fixture_* queries, ops/graph.py's
+# kg_pagerank_pipeline, and (by documented contract) the python-side
+# build in scripts/make_goldens.py — the committed golden/*.parquet are
+# derived at exactly this shape, so every live-pipeline oracle row
+# depends on these staying in lockstep.
+GOLDEN_REPLICATION = 4
+GOLDEN_HOT_ROWS = 16
+GOLDEN_PIPELINE_CONFIG = dict(n_buckets=16, knowledge_base={"secret": "hello"})
+
+
+def golden_corpus(spark):
+    """Fixture corpus at the golden-parquet scale."""
+    return corpus_df(spark, replication=GOLDEN_REPLICATION,
+                     hot_rows=GOLDEN_HOT_ROWS)
+
+
+def golden_pipeline_tables(spark):
+    """The full pipeline run whose triples/nodes match golden/*.parquet."""
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+    pipe = Pipeline(PipelineConfig(**GOLDEN_PIPELINE_CONFIG))
+    return pipe.run(golden_corpus(spark))
+
+
 def iter_expected_root_hashes(replication: int = 1, hot_rows: int = 8) -> Iterator[str]:
     """sha256 of each row's decoded content (test helper)."""
     for _, _, _, lang, content, _ in corpus_rows(replication, hot_rows):

@@ -34,14 +34,19 @@ def _docs(spark, sf_dir):
 
 def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
              damping: float = _PR_DAMPING) -> DataFrame:
-    """Weighted-degree-free PageRank over an (src, dst) edge list.
+    """Unweighted PageRank over an (src, dst) edge list.
 
-    Returns (node, rank) with ranks normalized so they sum to 1 over the
-    nodes that appear in ``edges``.  Every iteration: contribution =
-    rank/outdeg flowing along each edge, summed per dst, damped.  Nodes
-    with no in-edges keep the teleport term.  Generic over any edge
-    table — the query below feeds it the doc↔entity mention graph; the
-    production KG feeds it nodes/edges from stages/link.py.
+    Returns (node, rank, n_nodes) over the nodes that appear in
+    ``edges``, initialized uniformly at 1/N.  Ranks sum to 1 only on
+    graphs with no dangling nodes (sinks leak their mass each round —
+    there is NO renormalization step; the dangling-node test pins the
+    leak).  Every iteration: contribution = rank/outdeg flowing along
+    each edge, summed per dst, damped; nodes with no in-edges keep the
+    teleport term.  Generic over any edge table — the queries below feed
+    it the doc↔entity mention graph and the real pipeline's triples; the
+    production KG feeds it nodes/edges from stages/link.py.  ``n_nodes``
+    rides along so callers can normalize without re-aggregating the edge
+    lineage.
     """
     edges = edges.select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -77,7 +82,7 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
         if (i + 1) % 4 == 0:
             # truncate the join-per-round lineage like dedup_cluster does
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", "rank")
+    return ranks.select("node", "rank", "n_nodes")
 
 
 def q_kg_pagerank(spark, sf_dir):
@@ -102,16 +107,9 @@ def q_kg_pagerank(spark, sf_dir):
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
-    ranks = pagerank(edges)
-    n_nodes = edges.select("src").distinct().agg(
-        F.count(F.lit(1)).alias("n_nodes")
-    )
-    return (
-        ranks.crossJoin(F.broadcast(n_nodes))
-        .select(
-            "node",
-            F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
-        )
+    return pagerank(edges).select(
+        "node",
+        F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
     )
 
 
@@ -180,25 +178,15 @@ _REPO_ROOT = os.path.dirname(
 
 def q_kg_pagerank_pipeline(spark, sf_dir):
     from kgmwcp import fixtures
-    from kgmwcp.pipeline import Pipeline, PipelineConfig
 
-    pipe = Pipeline(PipelineConfig(n_buckets=16, knowledge_base={"secret": "hello"}))
-    corpus = fixtures.corpus_df(spark, replication=4, hot_rows=16)
-    triples = pipe.run(corpus)["triples"]
+    triples = fixtures.golden_pipeline_tables(spark)["triples"]
     fwd = triples.select(
         F.concat(F.lit("s:"), "subj").alias("src"),
         F.concat(F.lit("e:"), "pred", F.lit("//"), "obj").alias("dst"),
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges)
-    n_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-    )
-    return ranks.crossJoin(F.broadcast(n_nodes)).select(
+    return pagerank(edges).select(
         "node",
         F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
     )
