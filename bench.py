@@ -59,6 +59,7 @@ EXTENDED_OPS = [
     "events_sessionize",
     "events_funnel",
     "kg_pagerank_pipeline",
+    "kg_triples_diff",
     "text_boilerplate_frac",
     "text_chunking",
     "corpus_mixture_weights",

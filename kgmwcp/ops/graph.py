@@ -85,13 +85,9 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     return ranks.select("node", "rank", "n_nodes")
 
 
-def q_kg_pagerank(spark, sf_dir):
-    """PageRank over the bipartite doc↔entity mention graph: nodes are
-    ``d:<doc_id>`` and ``t:<token>``, one edge each way per distinct
-    mention.  Output rank is scaled by N (mean-normalized) and rounded
-    to 4 dp for engine-portable hashing."""
-    docs = _docs(spark, sf_dir)
-    mentions = (
+def _mentions(docs):
+    """Distinct (doc_id, token) keyword mentions (T1-shape extract)."""
+    return (
         docs.select(
             "doc_id",
             F.explode(
@@ -101,6 +97,15 @@ def q_kg_pagerank(spark, sf_dir):
         .filter(F.col("token") != "scan")
         .dropDuplicates(["doc_id", "token"])
     )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the bipartite doc↔entity mention graph: nodes are
+    ``d:<doc_id>`` and ``t:<token>``, one edge each way per distinct
+    mention.  Output rank is scaled by N (mean-normalized) and rounded
+    to 4 dp for engine-portable hashing."""
+    docs = _docs(spark, sf_dir)
+    mentions = _mentions(docs)
     fwd = mentions.select(
         F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
         F.concat(F.lit("t:"), "token").alias("dst"),
@@ -209,12 +214,57 @@ edges AS (
 SQL_KG_PAGERANK_PIPELINE = _sql_kg_pagerank_pipeline()
 
 
+# -- KG snapshot diff ---------------------------------------------------------
+# The daily KG-update shape: two snapshots of the mention-triple table
+# (yesterday = docs with doc_id % 10 != 0, today = docs with doc_id % 10
+# != 9 — each side has exclusive docs, so both 'added' and 'removed'
+# rows exist) diffed into a change feed.  Two anti-joins on the full
+# triple key — at 100 TB both snapshots would be bucketed by subj so the
+# anti-joins are co-located merge joins with no shuffle of the big side.
+
+def q_kg_triples_diff(spark, sf_dir):
+    m = _mentions(_docs(spark, sf_dir))
+    old = m.filter(F.col("doc_id") % 10 != 0)
+    new = m.filter(F.col("doc_id") % 10 != 9)
+    key = ["doc_id", "token"]
+    added = new.join(old, key, "left_anti").select(
+        F.lit("added").alias("change"), *key)
+    removed = old.join(new, key, "left_anti").select(
+        F.lit("removed").alias("change"), *key)
+    return added.unionByName(removed)
+
+
+SQL_KG_TRIPLES_DIFF = r"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+),
+old AS (SELECT * FROM m WHERE doc_id % 10 <> 0),
+new AS (SELECT * FROM m WHERE doc_id % 10 <> 9)
+SELECT 'added' AS change, doc_id, token
+FROM new WHERE NOT EXISTS (SELECT 1 FROM old
+                           WHERE old.doc_id = new.doc_id
+                             AND old.token = new.token)
+UNION ALL
+SELECT 'removed', doc_id, token
+FROM old WHERE NOT EXISTS (SELECT 1 FROM new
+                           WHERE new.doc_id = old.doc_id
+                             AND new.token = old.token)
+"""
+
+
 QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_pipeline": q_kg_pagerank_pipeline,
+    "kg_triples_diff": q_kg_triples_diff,
 }
 
 ORACLES = {
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_pagerank_pipeline": SQL_KG_PAGERANK_PIPELINE,
+    "kg_triples_diff": SQL_KG_TRIPLES_DIFF,
 }
