@@ -55,6 +55,7 @@ EXTENDED_OPS = [
     "multimodal_features",
     # round-4 second wave
     "kg_pagerank",
+    "kg_pagerank_weighted",
     "dedup_incremental",
     "events_sessionize",
     "events_funnel",

@@ -33,7 +33,8 @@ def _docs(spark, sf_dir):
 
 
 def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
-             damping: float = _PR_DAMPING) -> DataFrame:
+             damping: float = _PR_DAMPING,
+             weight: str | None = None) -> DataFrame:
     """Unweighted PageRank over an (src, dst) edge list.
 
     Returns (node, rank, n_nodes) over the nodes that appear in
@@ -47,9 +48,17 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     production KG feeds it nodes/edges from stages/link.py.  ``n_nodes``
     rides along so callers can normalize without re-aggregating the edge
     lineage.
+
+    ``weight`` names an integer edge-weight column: contributions become
+    rank·w/Σw(out-edges).  The unweighted path is the same arithmetic
+    with w=1 (rank·1/Σ1 is bit-identical to rank/outdeg), so one code
+    path serves both and the unweighted oracles stay valid.
     """
-    edges = edges.select("src", "dst")
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight is None:
+        edges = edges.select("src", "dst", F.lit(1).alias("w"))
+    else:
+        edges = edges.select("src", "dst", F.col(weight).alias("w"))
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -65,7 +74,8 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
             ranks.join(edges, ranks.node == edges.src)
             .join(F.broadcast(outdeg), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("outdeg"))
+                 .alias("contrib"))
         )
         ranks = (
             ranks.select("node", "n_nodes")
@@ -118,15 +128,22 @@ def q_kg_pagerank(spark, sf_dir):
     )
 
 
-def _pr_unrolled(with_edges_head: str) -> str:
+def _pr_unrolled(with_edges_head: str, weighted: bool = False) -> str:
     """Unrolled power-iteration CTE chain mirroring pagerank() exactly.
 
     ``with_edges_head`` must open a WITH clause whose last CTE is
-    ``edges(src, dst)``; the generator appends the degree/teleport
-    machinery plus _PR_ITERS identical rounds."""
+    ``edges(src, dst)`` — or ``edges(src, dst, w)`` with ``weighted`` —
+    and the generator appends the degree/teleport machinery plus
+    _PR_ITERS identical rounds."""
     d = _PR_DAMPING
-    core = """,
-outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    if weighted:
+        deg = "outdeg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"
+        num = "p.rank * e.w"
+    else:
+        deg = "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"
+        num = "p.rank"
+    core = f""",
+{deg},
 nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
@@ -139,7 +156,7 @@ pr{i + 1} AS (
          (1.0::DOUBLE - {d}) / (SELECT n FROM nn)
          + {d} * coalesce(c.contrib, 0.0::DOUBLE) AS rank
   FROM nodes LEFT JOIN (
-    SELECT e.dst AS node, sum(p.rank / o.outdeg) AS contrib
+    SELECT e.dst AS node, sum({num} / o.outdeg) AS contrib
     FROM pr{i} p JOIN edges e ON e.src = p.node
     JOIN outdeg o ON o.src = e.src
     GROUP BY e.dst
@@ -214,6 +231,56 @@ edges AS (
 SQL_KG_PAGERANK_PIPELINE = _sql_kg_pagerank_pipeline()
 
 
+# -- weighted PageRank (term-frequency edges) ---------------------------------
+# Same machinery, weighted: the doc↔token edge carries the token's
+# occurrence count in the doc (not just distinct presence), so a doc
+# that mentions an entity 40 times routes proportionally more rank to
+# it — the shape entity-importance ranking actually uses on a KG whose
+# mention edges carry counts (stages/link.py's n_mentions).
+
+def q_kg_pagerank_weighted(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    mentions_w = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "scan")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    fwd = mentions_w.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), "token").alias("dst"),
+        "w",
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"), "w"))
+    return pagerank(edges, weight="w").select(
+        "node",
+        F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
+    )
+
+
+SQL_KG_PAGERANK_WEIGHTED = _pr_unrolled(r"""
+WITH mentions_w AS (
+  SELECT doc_id, token, count(*) AS w FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan' GROUP BY doc_id, token
+),
+edges AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst, w
+  FROM mentions_w
+  UNION ALL
+  SELECT 't:' || token, 'd:' || CAST(doc_id AS VARCHAR), w FROM mentions_w
+)""", weighted=True)
+
+
 # -- KG snapshot diff ---------------------------------------------------------
 # The daily KG-update shape: two snapshots of the mention-triple table
 # (yesterday = docs with doc_id % 10 != 0, today = docs with doc_id % 10
@@ -259,12 +326,14 @@ FROM old WHERE NOT EXISTS (SELECT 1 FROM new
 
 QUERIES = {
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_pagerank_pipeline": q_kg_pagerank_pipeline,
     "kg_triples_diff": q_kg_triples_diff,
 }
 
 ORACLES = {
     "kg_pagerank": SQL_KG_PAGERANK,
+    "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
     "kg_pagerank_pipeline": SQL_KG_PAGERANK_PIPELINE,
     "kg_triples_diff": SQL_KG_TRIPLES_DIFF,
 }

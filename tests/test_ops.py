@@ -511,3 +511,33 @@ def test_funnel_ordering_is_strict(spark, tmp_path):
 
     _assert_oracle_parity(spark, _duck_on(sf, tables=("events",)),
                           ("events_funnel",), sf)
+
+
+def test_chunking_invariants_across_all_lengths(spark, tmp_path):
+    """Window-arithmetic invariants for EVERY token count 1..200 in one
+    Spark job: chunks start at 1 and stride 48, every chunk holds 1..64
+    tokens, consecutive chunks overlap, and the union of chunk spans
+    covers [1..n] with no gap — the guarantee training-sequence prep
+    actually needs."""
+    rows = [(n, " ".join(f"t{i}" for i in range(n)), "en", "s", 1)
+            for n in range(1, 201)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    by_doc = {}
+    for r in QUERIES["text_chunking"](spark, sf).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(1, 201))
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        spans = [(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"] - 1)
+                 for r in chunks]
+        assert spans[0][0] == 1
+        assert all(1 <= r["n_chunk_tokens"] <= 64 for r in chunks), n
+        assert all(b[0] - a[0] == 48 for a, b in zip(spans, spans[1:])), n
+        # no gap: each next chunk starts inside or adjacent to the prior
+        assert all(b[0] <= a[1] + 1 for a, b in zip(spans, spans[1:])), n
+        assert spans[-1][1] == n, n
