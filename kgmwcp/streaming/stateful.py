@@ -1,6 +1,6 @@
 """Streaming stateful operators — watermarked windows + custom state.
 
-Two patterns the batch pipeline cannot express (SURVEY.md §2.4 streaming
+Three patterns the batch pipeline cannot express (SURVEY.md §2.4 streaming
 margin; the reference has no streaming story — its REST server processes
 one file per request — so these are the Spark-native continuous forms of
 its batch semantics):
@@ -16,6 +16,11 @@ its batch semantics):
   ``applyInPandasWithState`` (GroupState), because the built-in
   ``dropDuplicates`` cannot attach per-key metadata (first-seen time,
   running mention count) to the emission.
+* ``sessionized_events`` — gap-based sessionization with event-time
+  TIMEOUTS: sessions close either from observed data (a >gap successor
+  event) or from the watermark passing the open session's deadline —
+  the latter has no batch analogue and is the canonical GroupState +
+  ``EventTimeTimeout`` shape.
 
 At 100 TB/day the state store is the scaling concern: both operators key
 state by a high-cardinality column (window x type; entity_id), so state
@@ -34,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -42,7 +48,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["windowed_event_counts", "first_seen_entities",
-           "FIRST_SEEN_OUTPUT_SCHEMA"]
+           "sessionized_events", "FIRST_SEEN_OUTPUT_SCHEMA",
+           "SESSION_OUTPUT_SCHEMA"]
 
 
 def windowed_event_counts(events: DataFrame,
@@ -137,5 +144,111 @@ def first_seen_entities(mentions: DataFrame,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# -- gap-based streaming sessionization ---------------------------------------
+# The continuous twin of ops/relational.q_events_sessionize: per-user
+# sessions close when a >30-min event-time gap is observed IN the data
+# (emitted immediately) or when the watermark passes the open session's
+# gap deadline (event-time TIMEOUT — the part only a stateful streaming
+# operator can express: the batch op sees the whole table, the stream
+# must decide "this session is over" from the watermark alone).  State
+# is one 4-field row per user (epoch-microseconds as int64 — portable
+# across the state store, no timestamp serialization edge cases), sharded by
+# user_id; the timeout bound means state size tracks ACTIVE users, not
+# all users ever seen.
+
+SESSION_GAP_SECONDS = 1800  # == ops/relational._SESSION_GAP_US / 1e6
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+_SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+_GAP_US = SESSION_GAP_SECONDS * 1_000_000
+
+
+def _emit_df(user_id: int, sessions: list) -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": [user_id] * len(sessions),
+        "session_start": [pd.Timestamp(s, unit="us") for s, *_ in sessions],
+        "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in sessions],
+        "n_events": [n for *_, n, _ in sessions],
+        "total_value": [round(v, 4) for *_, v in sessions],
+    })
+
+
+def _sessionize_fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    if state.hasTimedOut:
+        # watermark passed the gap deadline: the open session is final
+        start_us, last_us, n, tot = state.get
+        state.remove()
+        yield _emit_df(user_id, [(start_us, last_us, n, tot)])
+        return
+
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort")
+    # pandas datetime64[ns] -> integer microseconds
+    us = batch["ts"].astype("int64") // 1000
+
+    if state.exists:
+        start_us, last_us, n, tot = state.get
+    else:
+        start_us = last_us = None
+        n, tot = 0, 0.0
+
+    closed = []
+    for t, v in zip(us.tolist(), batch["value"].tolist()):
+        if start_us is None:
+            start_us, last_us, n, tot = t, t, 1, float(v)
+        elif t - last_us > _GAP_US:
+            closed.append((start_us, last_us, n, tot))
+            start_us, last_us, n, tot = t, t, 1, float(v)
+        else:
+            last_us, n, tot = t, n + 1, tot + float(v)
+
+    state.update((start_us, last_us, n, tot))
+    # fire when the WATERMARK (event time, not wall clock) passes the
+    # open session's gap deadline
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SECONDS * 1000)
+    if closed:
+        yield _emit_df(user_id, closed)
+
+
+def sessionized_events(events: DataFrame,
+                       watermark: str = "2 hours") -> DataFrame:
+    """events(ts, user_id, event_id, value, ...) stream -> CLOSED
+    sessions, exactly the rows the batch sessionize op computes (the
+    final still-open session per user emits once the watermark passes
+    its gap deadline)."""
+    return (
+        events
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("ts", "user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -227,3 +227,100 @@ def test_available_now_empty_drop_folder(spark, tmp_path):
                                PipelineConfig(n_buckets=4))
     assert tables["triples"].count() == 0
     assert tables["reports"].count() == 0
+
+
+def test_sessionized_events_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Gap-based streaming sessionization: data-driven closures emit as
+    soon as the >gap successor arrives; watermark-driven closures emit
+    via EventTimeTimeout on a later micro-batch (across a query
+    RESTART, so the open-session state is checkpointed); the union of
+    emitted sessions equals the batch sessionize op minus each user's
+    final (still-open) session."""
+    import datetime
+
+    from kgmwcp.ops.relational import q_events_sessionize
+    from kgmwcp.streaming.stateful import (
+        SESSION_OUTPUT_SCHEMA, sessionized_events)
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = tmp_path / "events_stream"
+    out = tmp_path / "sessions"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    file1 = [
+        (1, ts(0, 0), 7, "click", 1.0, "{}"),
+        (2, ts(0, 29), 7, "click", 2.0, "{}"),   # same session (29 min)
+        (3, ts(0, 5), 8, "view", 5.0, "{}"),
+    ]
+    file2 = [
+        (4, ts(1, 30), 7, "click", 3.0, "{}"),   # >30min: closes 7's A
+        (5, ts(3, 0), 8, "buy", 7.0, "{}"),      # closes 8's A
+        (6, ts(6, 0), 99, "click", 0.5, "{}"),   # watermark pusher
+    ]
+    file3 = [
+        (7, ts(6, 1), 99, "click", 0.5, "{}"),   # extra batch: timeouts fire
+    ]
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (sessionized_events(stream).writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.schema(SESSION_OUTPUT_SCHEMA) \
+            .parquet(str(out)).collect()
+
+    write_file(file1)
+    write_file(file2)
+    rows = drain()
+    # data-driven closures only (timeouts need a subsequent batch)
+    got1 = {(r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["total_value"]) for r in rows}
+    assert (7, ts(0, 0), ts(0, 29), 2, 3.0) in got1
+    assert (8, ts(0, 5), ts(0, 5), 1, 5.0) in got1
+    assert not any(u == 99 for (u, *_) in got1)
+
+    # restart from checkpoint; the new batch advances past the open
+    # sessions' gap deadlines (watermark 04:00) -> timeout emissions
+    write_file(file3)
+    rows = drain()
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["total_value"]) for r in rows}
+
+    # batch twin: every session except those STILL OPEN at the final
+    # watermark — a user's last session is open iff its gap deadline is
+    # beyond the watermark (max event time - 2h); earlier sessions are
+    # always closed (a successor event exists)
+    ev_dir = tmp_path / "batch_twin"
+    ev_dir.mkdir()
+    spark.createDataFrame(file1 + file2 + file3, schema).coalesce(1) \
+        .write.parquet(str(ev_dir / "events.parquet"))
+    batch = q_events_sessionize(spark, str(ev_dir)).collect()
+    final_wm = ts(6, 1) - datetime.timedelta(hours=2)
+    gap = datetime.timedelta(seconds=1800)
+    last_seq = {}
+    for r in batch:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0),
+                                     r["session_seq"])
+    expected = set()
+    for r in batch:
+        start = datetime.datetime.strptime(r["session_start"],
+                                           "%Y-%m-%d %H:%M:%S")
+        end = datetime.datetime.strptime(r["session_end"],
+                                         "%Y-%m-%d %H:%M:%S")
+        is_last = r["session_seq"] == last_seq[r["user_id"]]
+        if is_last and end + gap > final_wm:
+            continue  # still open in the stream (only user 99's)
+        expected.add((r["user_id"], start, end,
+                      r["n_events"], r["total_value"]))
+    assert got == expected and len(expected) == 4
