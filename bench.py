@@ -64,6 +64,7 @@ EXTENDED_OPS = [
     "text_boilerplate_frac",
     "text_chunking",
     "corpus_mixture_weights",
+    "corpus_pack_sequences",
 ]
 
 

@@ -615,10 +615,94 @@ FROM per, tot
 """
 
 
+# -- sequence packing (concat-then-chunk) -------------------------------------
+# The GPT-style pre-training packer: within a shard (bucket = doc_id %
+# _PACK_BUCKETS, the unit a single writer task owns), documents are laid
+# end-to-end in doc_id order and the token stream is cut into fixed
+# _SEQ_LEN blocks — docs straddle block boundaries, nothing is padded
+# except the shard's ragged tail.  Entirely declarative: one ordered
+# window gives each doc its running token offset, a sequence() explode
+# maps the doc onto the blocks it overlaps, and a groupBy yields block
+# occupancy.  At 100 TB this is the exact shape of a distributed
+# tokenizer-packer: shards are independent (embarrassingly parallel),
+# and the only shuffle is the per-shard window sort.
+
+_SEQ_LEN = 256
+_PACK_BUCKETS = 8
+
+
+def q_corpus_pack_sequences(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(_ws_tokens()).alias("n"),
+    ).filter(F.col("n") > 0)
+    w = (
+        Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("off", F.sum("n").over(w) - F.col("n"))
+    spans = t.select(
+        "bucket",
+        "doc_id",
+        "n",
+        "off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("off") / _SEQ_LEN),
+                F.floor((F.col("off") + F.col("n") - 1) / _SEQ_LEN),
+            )
+        ).alias("seq_id"),
+    )
+    in_seq = (
+        F.least(F.col("off") + F.col("n"), (F.col("seq_id") + 1) * _SEQ_LEN)
+        - F.greatest(F.col("off"), F.col("seq_id") * _SEQ_LEN)
+    )
+    return (
+        spans.withColumn("toks_in_seq", in_seq)
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks_in_seq").alias("n_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % {nb} AS bucket,
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '')) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS off
+  FROM t WHERE n > 0
+),
+spans AS (
+  SELECT bucket, doc_id, n, off,
+         unnest(generate_series(off // {sl}, (off + n - 1) // {sl})) AS seq_id
+  FROM o
+)
+SELECT bucket, seq_id,
+       count(*) AS n_docs,
+       CAST(sum(least(off + n, (seq_id + 1) * {sl})
+                - greatest(off, seq_id * {sl})) AS BIGINT) AS n_tokens
+FROM spans GROUP BY bucket, seq_id
+""".format(nb=_PACK_BUCKETS, sl=_SEQ_LEN)
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_chunking": q_text_chunking,
     "corpus_mixture_weights": q_corpus_mixture_weights,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -637,6 +721,7 @@ ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_chunking": SQL_TEXT_CHUNKING,
     "corpus_mixture_weights": SQL_CORPUS_MIXTURE_WEIGHTS,
+    "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

@@ -541,3 +541,30 @@ def test_chunking_invariants_across_all_lengths(spark, tmp_path):
         # no gap: each next chunk starts inside or adjacent to the prior
         assert all(b[0] <= a[1] + 1 for a, b in zip(spans, spans[1:])), n
         assert spans[-1][1] == n, n
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk packing: every sequence except each bucket's
+    ragged tail holds exactly _SEQ_LEN tokens, and per-bucket token mass
+    is conserved (sum of block occupancy == sum of doc token counts)."""
+    from kgmwcp.ops.textops import _SEQ_LEN, q_text_token_count
+
+    rows = QUERIES["corpus_pack_sequences"](spark, SF_DIR).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    totals = {}
+    for b, seqs in by_bucket.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))  # dense
+        assert all(r["n_tokens"] == _SEQ_LEN for r in seqs[:-1]), b
+        assert 1 <= seqs[-1]["n_tokens"] <= _SEQ_LEN, b
+        totals[b] = sum(r["n_tokens"] for r in seqs)
+    # mass conservation vs the independent token counter
+    from kgmwcp.ops.textops import _PACK_BUCKETS
+    expected = {}
+    for r in q_text_token_count(spark, SF_DIR).collect():
+        if r["n_tokens"] > 0:
+            b = r["doc_id"] % _PACK_BUCKETS
+            expected[b] = expected.get(b, 0) + r["n_tokens"]
+    assert totals == expected
