@@ -376,12 +376,24 @@ def golden_corpus(spark):
                      hot_rows=GOLDEN_HOT_ROWS)
 
 
-def golden_pipeline_tables(spark):
-    """The full pipeline run whose triples/nodes match golden/*.parquet."""
-    from kgmwcp.pipeline import Pipeline, PipelineConfig
+_GOLDEN_TABLES_CACHE: dict = {}
 
-    pipe = Pipeline(PipelineConfig(**GOLDEN_PIPELINE_CONFIG))
-    return pipe.run(golden_corpus(spark))
+
+def golden_pipeline_tables(spark):
+    """The full pipeline run whose triples/nodes match golden/*.parquet.
+
+    Memoized per SparkSession: four driver-gate queries (triples, nodes,
+    stix, kg_pagerank_pipeline) consume these tables in one session, and
+    without the cache each would re-run the extract stage and stack a
+    fresh records persist."""
+    key = id(spark)
+    if key not in _GOLDEN_TABLES_CACHE:
+        from kgmwcp.pipeline import Pipeline, PipelineConfig
+
+        pipe = Pipeline(PipelineConfig(**GOLDEN_PIPELINE_CONFIG))
+        _GOLDEN_TABLES_CACHE.clear()  # one live session at a time
+        _GOLDEN_TABLES_CACHE[key] = pipe.run(golden_corpus(spark))
+    return _GOLDEN_TABLES_CACHE[key]
 
 
 def iter_expected_root_hashes(replication: int = 1, hot_rows: int = 8) -> Iterator[str]:
