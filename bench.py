@@ -65,6 +65,7 @@ EXTENDED_OPS = [
     "text_chunking",
     "corpus_mixture_weights",
     "corpus_pack_sequences",
+    "embedding_quantize",
 ]
 
 
