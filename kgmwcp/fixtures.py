@@ -386,12 +386,14 @@ def golden_pipeline_tables(spark):
     stix, kg_pagerank_pipeline) consume these tables in one session, and
     without the cache each would re-run the extract stage and stack a
     fresh records persist."""
-    key = id(spark)
+    # applicationId is unique per SparkContext — no id()-reuse staleness,
+    # and no cache clear (two live sessions alternating calls would
+    # otherwise thrash, re-running the pipeline and stacking persists)
+    key = spark.sparkContext.applicationId
     if key not in _GOLDEN_TABLES_CACHE:
         from kgmwcp.pipeline import Pipeline, PipelineConfig
 
         pipe = Pipeline(PipelineConfig(**GOLDEN_PIPELINE_CONFIG))
-        _GOLDEN_TABLES_CACHE.clear()  # one live session at a time
         _GOLDEN_TABLES_CACHE[key] = pipe.run(golden_corpus(spark))
     return _GOLDEN_TABLES_CACHE[key]
 

@@ -35,7 +35,7 @@ def _docs(spark, sf_dir):
 def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
              damping: float = _PR_DAMPING,
              weight: str | None = None) -> DataFrame:
-    """Unweighted PageRank over an (src, dst) edge list.
+    """PageRank over an (src, dst[, w]) edge list, optionally weighted.
 
     Returns (node, rank, n_nodes) over the nodes that appear in
     ``edges``, initialized uniformly at 1/N.  Ranks sum to 1 only on

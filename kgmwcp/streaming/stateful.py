@@ -222,7 +222,13 @@ def _sessionize_fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
             closed.append((start_us, last_us, n, tot))
             start_us, last_us, n, tot = t, t, 1, float(v)
         else:
-            last_us, n, tot = t, n + 1, tot + float(v)
+            # a late-but-within-watermark arrival (t < last_us, possible
+            # across micro-batches) merges into the open session WITHOUT
+            # regressing its bounds — min/max, never overwrite (a plain
+            # last_us = t would shrink the window and a later event
+            # could falsely split the session vs the batch twin)
+            start_us = min(start_us, t)
+            last_us, n, tot = max(last_us, t), n + 1, tot + float(v)
 
     state.update((start_us, last_us, n, tot))
     # fire when the WATERMARK (event time, not wall clock) passes the

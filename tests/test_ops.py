@@ -568,3 +568,30 @@ def test_pack_sequences_invariants(spark):
             b = r["doc_id"] % _PACK_BUCKETS
             expected[b] = expected.get(b, 0) + r["n_tokens"]
     assert totals == expected
+
+
+def test_quantize_zero_vector_excluded_and_values_pinned(spark, tmp_path):
+    """An all-zero vector has no quantization scale (0/0 would NaN->127
+    garbage and diverge Spark-NaN vs DuckDB-NULL) — it is filtered out;
+    a normal vector's int8 codes follow floor(x/scale + 0.5) exactly.
+    Oracle parity on the same fixture."""
+    rows = [
+        (1, [1.0, -0.5, 0.25], 0),
+        (2, [0.0, 0.0, 0.0], 0),   # excluded: scale == 0
+        (3, [], 0),                # excluded: empty
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = {r["vec_id"]: r
+           for r in QUERIES["embedding_quantize"](spark, sf).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    # scale = 1/127; q = [127, floor(-63.5+0.5)=-63, floor(31.75+0.5)=32]
+    assert (r["q_sum"], r["q_l1"]) == (96, 222)
+    assert r["n_dims"] == 3
+
+    _assert_oracle_parity(spark, _duck_on(sf, tables=("embeddings",)),
+                          ("embedding_quantize",), sf)

@@ -324,3 +324,50 @@ def test_sessionized_events_stream_matches_batch_closed_sessions(spark, tmp_path
         expected.add((r["user_id"], start, end,
                       r["n_events"], r["total_value"]))
     assert got == expected and len(expected) == 4
+
+
+def test_sessionized_events_late_event_merges_without_split(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a later micro-batch
+    must merge into the open session WITHOUT regressing its end bound —
+    a naive last_ts overwrite would make the next on-time event look
+    >gap away and falsely split the session (review finding)."""
+    import datetime
+
+    from kgmwcp.streaming.stateful import (
+        SESSION_OUTPUT_SCHEMA, sessionized_events)
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = tmp_path / "s"
+    out = tmp_path / "o"
+    ckpt = tmp_path / "c"
+    src.mkdir()
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (sessionized_events(stream).writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.schema(SESSION_OUTPUT_SCHEMA) \
+            .parquet(str(out)).collect()
+
+    write_file([(1, ts(10, 0), 5, "click", 1.0, "{}")])
+    write_file([
+        (2, ts(9, 50), 5, "click", 1.0, "{}"),    # LATE (within watermark)
+        (3, ts(10, 25), 5, "click", 1.0, "{}"),   # 25 min after 10:00
+        (4, ts(14, 0), 99, "click", 0.0, "{}"),   # watermark pusher
+    ])
+    write_file([(5, ts(14, 1), 99, "click", 0.0, "{}")])  # timeout batch
+    rows = drain()
+    mine = [(r["session_start"], r["session_end"], r["n_events"])
+            for r in rows if r["user_id"] == 5]
+    assert mine == [(ts(9, 50), ts(10, 25), 3)]  # ONE session, no split
