@@ -66,6 +66,8 @@ EXTENDED_OPS = [
     "corpus_mixture_weights",
     "corpus_pack_sequences",
     "embedding_quantize",
+    "sketch_distinct_kmv",
+    "text_tfidf_topk",
 ]
 
 

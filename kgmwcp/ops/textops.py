@@ -698,11 +698,161 @@ FROM spans GROUP BY bucket, seq_id
 """.format(nb=_PACK_BUCKETS, sl=_SEQ_LEN)
 
 
+# -- KMV distinct-count sketch ------------------------------------------------
+# The mergeable cardinality sketch done DETERMINISTICALLY: keep the K
+# minimum md5 values of the keyed universe; estimate D ≈ (K-1)/kth_min
+# (treating the hex hash as a uniform fraction of 2^60).  Unlike
+# HLL/approx_count_distinct — whose register layouts differ per engine —
+# md5 order is identical everywhere, so the ESTIMATE itself is
+# bit-reproducible and oracle-hashable.  At 100 TB the sketch is a
+# per-partition top-K (map-side) merged once (reduce) — O(K) state per
+# group vs an exact distinct's shuffle of the whole key universe; the
+# query emits exact vs estimate side by side so the error is measured,
+# not guessed.
+
+_KMV_K = 64
+
+
+def q_sketch_distinct_kmv(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select("lang", F.explode(_ws_tokens()).alias("tok"))
+        .select("lang", F.md5(F.encode(F.lower("tok"), "utf-8")).alias("h"))
+        .dropDuplicates(["lang", "h"])
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    kth = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("lang")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_found"))
+    )
+    exact = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    frac = F.conv(F.substring("kth", 1, 15), 16, 10).cast("double") / float(16 ** 15)
+    est = F.when(
+        F.col("k_found") < _KMV_K, F.col("k_found").cast("double")
+    ).otherwise((_KMV_K - 1) / frac)
+    return (
+        kth.join(exact, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            F.round(est, 1).alias("kmv_estimate"),
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 3
+            ).alias("rel_error"),
+        )
+    )
+
+
+SQL_SKETCH_DISTINCT_KMV = r"""
+WITH toks AS (
+  SELECT DISTINCT lang,
+         md5(lower(tok)) AS h
+  FROM (
+    SELECT lang,
+           unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+kth AS (
+  SELECT lang, max(h) AS kth, count(*) AS k_found FROM (
+    SELECT lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM toks
+  ) WHERE rn <= {k} GROUP BY lang
+),
+exact AS (SELECT lang, count(*) AS exact_distinct FROM toks GROUP BY lang),
+est AS (
+  SELECT kth.lang, exact_distinct,
+         CASE WHEN k_found < {k} THEN k_found::DOUBLE
+              ELSE ({k} - 1)
+                   / (('0x' || substr(kth, 1, 15))::BIGINT / 1152921504606846976.0)
+         END AS e
+  FROM kth JOIN exact ON kth.lang = exact.lang
+)
+SELECT lang, exact_distinct, round(e, 1) AS kmv_estimate,
+       round((e - exact_distinct) / exact_distinct, 3) AS rel_error
+FROM est
+""".format(k=_KMV_K)
+
+
+# -- TF-IDF keyword extraction ------------------------------------------------
+# Per-doc top-3 terms by tf·idf with smoothed idf = ln((N+1)/(df+1)) —
+# the keyword-weighting pass KG entity extraction and corpus search both
+# build on.  Scale shape: tf is one (doc, token) groupBy; df reuses tf's
+# distinct rows with a second groupBy on token; the tf⋈df join shuffles
+# on token (AQE may broadcast a small vocabulary); the top-k is a
+# per-doc window rank with a deterministic (score desc, token asc)
+# tie-break so both engines pick identical rows.
+
+_TFIDF_TOPK = 3
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.transform(_ws_tokens(), lambda x: F.lower(x))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select("doc_id", "rnk", "tok", "tf", "df",
+                F.round("score", 4).alias("tfidf"))
+    )
+
+
+SQL_TEXT_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)) AS score
+  FROM tf JOIN df ON tf.tok = df.tok, n
+)
+SELECT doc_id, rnk, tok, tf, df, round(score, 4) AS tfidf FROM (
+  SELECT doc_id, tok, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+""".format(k=_TFIDF_TOPK)
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_chunking": q_text_chunking,
     "corpus_mixture_weights": q_corpus_mixture_weights,
     "corpus_pack_sequences": q_corpus_pack_sequences,
+    "sketch_distinct_kmv": q_sketch_distinct_kmv,
+    "text_tfidf_topk": q_text_tfidf_topk,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -722,6 +872,8 @@ ORACLES = {
     "text_chunking": SQL_TEXT_CHUNKING,
     "corpus_mixture_weights": SQL_CORPUS_MIXTURE_WEIGHTS,
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
+    "sketch_distinct_kmv": SQL_SKETCH_DISTINCT_KMV,
+    "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

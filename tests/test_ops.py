@@ -595,3 +595,30 @@ def test_quantize_zero_vector_excluded_and_values_pinned(spark, tmp_path):
 
     _assert_oracle_parity(spark, _duck_on(sf, tables=("embeddings",)),
                           ("embedding_quantize",), sf)
+
+
+def test_kmv_sketch_estimates_large_vocab(spark, tmp_path):
+    """The driver corpus vocabulary is tiny (k_found < K exact path); a
+    2000-token vocabulary exercises the real (K-1)/kth_min estimator —
+    the estimate must differ from exact yet land within the ~1/sqrt(K)
+    error regime, and stay oracle-parity (the estimate itself is
+    deterministic, not just the exact count)."""
+    vocab = " ".join(f"word{i}" for i in range(2000))
+    rows = [(1, vocab, "big", "s", 1),
+            (2, "tiny vocab here", "small", "s", 1)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r["lang"]: r
+           for r in QUERIES["sketch_distinct_kmv"](spark, sf).collect()}
+    big = out["big"]
+    assert big["exact_distinct"] == 2000
+    assert big["kmv_estimate"] != 2000.0          # estimator branch ran
+    assert abs(big["rel_error"]) < 0.30            # ~2.4/sqrt(64)
+    assert out["small"]["kmv_estimate"] == 3.0     # exact path
+    assert out["small"]["rel_error"] == 0.0
+
+    _assert_oracle_parity(spark, _duck_on(sf), ("sketch_distinct_kmv",), sf)
