@@ -68,6 +68,7 @@ EXTENDED_OPS = [
     "embedding_quantize",
     "sketch_distinct_kmv",
     "text_tfidf_topk",
+    "text_refang_iocs",
 ]
 
 

@@ -780,6 +780,62 @@ FROM est
 """.format(k=_KMV_K)
 
 
+# -- defanged-IOC refanging ---------------------------------------------------
+# Threat-intel text defangs IOCs (hxxp://, evil[.]com) so they aren't
+# clickable; mining a corpus for C2 infrastructure means REVERSING that
+# before canonicalization — the documents-table twin of the reference's
+# URL canonicalization stage (mwcp/metadata.py URL semantics; the
+# pipeline's T3 normalizer consumes what this op recovers).  Mapper-only
+# per-row regex work + one explode; dedup per (doc, ioc).  Patterns are
+# the Java∩RE2 subset and ride in as literal Columns (Spark SQL string
+# literals eat backslashes); the DuckDB twin spells regexp_replace with
+# the 'g' flag (Spark's replace is global by default, DuckDB's is not).
+
+_DEFANG_RX = (
+    r"hxxps?://[^ \t\n\x0B\f\r]+"
+    r"|[A-Za-z0-9-]+(?:\[\.\][A-Za-z0-9-]+)+"
+)
+
+
+def q_text_refang_iocs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_DEFANG_RX), 0)
+        ).alias("defanged"),
+    )
+    refanged = F.regexp_replace(
+        F.regexp_replace(F.col("defanged"), F.lit(r"\[\.\]"), F.lit(".")),
+        F.lit(r"^hxxp"), F.lit("http"),
+    )
+    return (
+        cand.select(
+            "doc_id",
+            "defanged",
+            refanged.alias("ioc"),
+            F.when(F.col("defanged").startswith("hxxp"), "url")
+            .otherwise("domain").alias("kind"),
+        )
+        .dropDuplicates(["doc_id", "defanged"])
+    )
+
+
+SQL_TEXT_REFANG_IOCS = r"""
+SELECT DISTINCT doc_id, defanged,
+       regexp_replace(regexp_replace(defanged, '\[\.\]', '.', 'g'),
+                      '^hxxp', 'http') AS ioc,
+       CASE WHEN defanged LIKE 'hxxp%' THEN 'url' ELSE 'domain' END AS kind
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+            'hxxps?://[^ \t\n\x0B\f\r]+|[A-Za-z0-9-]+(?:\[\.\][A-Za-z0-9-]+)+'))
+           AS defanged
+  FROM documents
+)
+"""
+
+
 # -- TF-IDF keyword extraction ------------------------------------------------
 # Per-doc top-3 terms by tf·idf with smoothed idf = ln((N+1)/(df+1)) —
 # the keyword-weighting pass KG entity extraction and corpus search both
@@ -853,6 +909,7 @@ QUERIES = {
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "sketch_distinct_kmv": q_sketch_distinct_kmv,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "text_refang_iocs": q_text_refang_iocs,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -874,6 +931,7 @@ ORACLES = {
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "sketch_distinct_kmv": SQL_SKETCH_DISTINCT_KMV,
     "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
+    "text_refang_iocs": SQL_TEXT_REFANG_IOCS,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

@@ -622,3 +622,32 @@ def test_kmv_sketch_estimates_large_vocab(spark, tmp_path):
     assert out["small"]["rel_error"] == 0.0
 
     _assert_oracle_parity(spark, _duck_on(sf), ("sketch_distinct_kmv",), sf)
+
+
+def test_refang_iocs_planted(spark, tmp_path):
+    """Defang conventions recovered: hxxps URL and bracket-dot domains
+    refang to canonical forms; plain text yields nothing; per-doc dedup.
+    Oracle parity on the planted fixture (and trivially on the driver
+    corpus, which contains no defanged IOCs)."""
+    rows = [
+        (1, "c2 at hxxps://evil[.]example[.]com/gate.php and evil[.]example[.]com "
+            "plus EVIL[.]example[.]com again", "en", "s", 1),
+        (2, "perfectly clean text with no indicators at all", "en", "s", 1),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = {(r["doc_id"], r["defanged"]): r
+           for r in QUERIES["text_refang_iocs"](spark, sf).collect()}
+    url = out[(1, "hxxps://evil[.]example[.]com/gate.php")]
+    assert url["ioc"] == "https://evil.example.com/gate.php"
+    assert url["kind"] == "url"
+    dom = out[(1, "evil[.]example[.]com")]
+    assert dom["ioc"] == "evil.example.com" and dom["kind"] == "domain"
+    assert len(out) == 2                     # lowercased + deduped
+    assert not any(d == 2 for d, _ in out)
+
+    _assert_oracle_parity(spark, _duck_on(sf), ("text_refang_iocs",), sf)
