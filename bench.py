@@ -61,6 +61,8 @@ EXTENDED_OPS = [
     "events_funnel",
     "kg_pagerank_pipeline",
     "kg_triples_diff",
+    "kg_nodes_upsert",
+    "kg_khop_neighborhood",
     "text_boilerplate_frac",
     "text_chunking",
     "corpus_mixture_weights",

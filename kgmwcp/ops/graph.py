@@ -324,7 +324,150 @@ FROM old WHERE NOT EXISTS (SELECT 1 FROM new
 """
 
 
+# -- KG node upsert (MERGE semantics) -----------------------------------------
+# Maintaining the entity table across ingest waves: the standing nodes
+# table (docs with doc_id % 10 != 0 — "yesterday") merged with a new
+# wave's mention aggregates ("today's" docs, doc_id % 10 == 0).
+# Semantics per entity: counts ADD, first_seen keeps the min, and the
+# row records whether it was inserted, updated, or carried unchanged —
+# the Iceberg MERGE INTO shape expressed engine-portably as a full outer
+# join (at scale: both sides bucketed by entity key → co-located merge).
+
+def q_kg_nodes_upsert(spark, sf_dir):
+    m = _mentions(_docs(spark, sf_dir))
+    def agg(side):
+        return side.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    standing = agg(m.filter(F.col("doc_id") % 10 != 0))
+    wave = agg(m.filter(F.col("doc_id") % 10 == 0))
+    s = standing.select(
+        "token",
+        F.col("n_docs").alias("s_n"),
+        F.col("first_doc").alias("s_first"),
+    )
+    w = wave.select(
+        "token",
+        F.col("n_docs").alias("w_n"),
+        F.col("first_doc").alias("w_first"),
+    )
+    j = s.join(w, "token", "full_outer")
+    return j.select(
+        "token",
+        (F.coalesce("s_n", F.lit(0)) + F.coalesce("w_n", F.lit(0)))
+        .alias("n_docs"),
+        F.least(
+            F.coalesce("s_first", "w_first"), F.coalesce("w_first", "s_first")
+        ).alias("first_doc"),
+        F.when(F.col("s_n").isNull(), "insert")
+        .when(F.col("w_n").isNull(), "unchanged")
+        .otherwise("update").alias("action"),
+    )
+
+
+SQL_KG_NODES_UPSERT = r"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+),
+standing AS (
+  SELECT token, count(*) AS s_n, min(doc_id) AS s_first
+  FROM mentions WHERE doc_id % 10 <> 0 GROUP BY token
+),
+wave AS (
+  SELECT token, count(*) AS w_n, min(doc_id) AS w_first
+  FROM mentions WHERE doc_id % 10 = 0 GROUP BY token
+)
+SELECT coalesce(s.token, w.token) AS token,
+       coalesce(s_n, 0) + coalesce(w_n, 0) AS n_docs,
+       least(coalesce(s_first, w_first), coalesce(w_first, s_first))
+         AS first_doc,
+       CASE WHEN s_n IS NULL THEN 'insert'
+            WHEN w_n IS NULL THEN 'unchanged'
+            ELSE 'update' END AS action
+FROM standing s FULL OUTER JOIN wave w ON s.token = w.token
+"""
+
+
+# -- k-hop neighborhood export ------------------------------------------------
+# Subgraph extraction around seed entities (the "show me everything
+# within 2 hops of this C2 domain" analyst query): seeds → 1-hop docs →
+# 2-hop entities, each frontier a semi-join against the edge list, hop
+# number = first hop at which the node is reached.  Fixed k unrolls as
+# CTEs (same trick as the PageRank oracle); at 10^11 edges each hop is
+# one join partitioned on the node key and frontiers stay small.
+
+def q_kg_khop_neighborhood(spark, sf_dir):
+    m = _mentions(_docs(spark, sf_dir))
+    seeds = (
+        m.filter(F.col("token") == "merge")
+        .select(F.concat(F.lit("t:"), "token").alias("node"))
+        .distinct()
+    )
+    fwd = m.select(
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), "token").alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+    hop0 = seeds.withColumn("hop", F.lit(0))
+    frontier = hop0
+    reached = hop0
+    for hop in (1, 2):
+        nxt = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached
+
+
+SQL_KG_KHOP_NEIGHBORHOOD = r"""
+WITH mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+),
+edges AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst
+  FROM mentions
+  UNION ALL
+  SELECT 't:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM mentions
+),
+hop0 AS (SELECT DISTINCT 't:' || token AS node, 0 AS hop
+         FROM mentions WHERE token = 'merge'),
+hop1 AS (
+  SELECT DISTINCT e.dst AS node, 1 AS hop
+  FROM edges e JOIN hop0 f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM hop0)
+),
+hop2 AS (
+  SELECT DISTINCT e.dst AS node, 2 AS hop
+  FROM edges e JOIN hop1 f ON e.src = f.node
+  WHERE e.dst NOT IN (SELECT node FROM hop0)
+    AND e.dst NOT IN (SELECT node FROM hop1)
+)
+SELECT node, hop FROM hop0
+UNION ALL SELECT node, hop FROM hop1
+UNION ALL SELECT node, hop FROM hop2
+"""
+
+
 QUERIES = {
+    "kg_nodes_upsert": q_kg_nodes_upsert,
+    "kg_khop_neighborhood": q_kg_khop_neighborhood,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_pagerank_pipeline": q_kg_pagerank_pipeline,
@@ -332,6 +475,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg_nodes_upsert": SQL_KG_NODES_UPSERT,
+    "kg_khop_neighborhood": SQL_KG_KHOP_NEIGHBORHOOD,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
     "kg_pagerank_pipeline": SQL_KG_PAGERANK_PIPELINE,

@@ -651,3 +651,41 @@ def test_refang_iocs_planted(spark, tmp_path):
     assert not any(d == 2 for d, _ in out)
 
     _assert_oracle_parity(spark, _duck_on(sf), ("text_refang_iocs",), sf)
+
+
+def test_upsert_and_khop_semantics_planted(spark, tmp_path):
+    """Upsert actions: entity only in the standing half -> unchanged,
+    only in the new wave -> insert, in both -> update (counts add,
+    first_seen keeps the min).  k-hop: a token co-mentioned with the
+    seed lands at hop 2 via the connecting doc at hop 1; an isolated
+    token is absent.  Oracle parity on the same fixture."""
+    rows = [
+        # doc 10 is the "wave" (doc_id % 10 == 0); 1..4 are standing
+        (1, "merge appears here", "en", "s", 1),            # standing: merge
+        (2, "join and merge together", "en", "s", 1),       # standing: join+merge
+        (3, "stream only lives in standing", "en", "s", 1), # standing: stream
+        (10, "merge plus window in the wave", "en", "s", 1),# wave: merge+window
+        (4, "hash lives alone in this doc", "en", "s", 1),  # isolated token
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    up = {r["token"]: r for r in QUERIES["kg_nodes_upsert"](spark, sf).collect()}
+    assert up["stream"]["action"] == "unchanged" and up["stream"]["n_docs"] == 1
+    assert up["window"]["action"] == "insert" and up["window"]["first_doc"] == 10
+    assert up["merge"]["action"] == "update"
+    assert up["merge"]["n_docs"] == 3 and up["merge"]["first_doc"] == 1
+
+    hops = {r["node"]: r["hop"]
+            for r in QUERIES["kg_khop_neighborhood"](spark, sf).collect()}
+    assert hops["t:merge"] == 0
+    assert hops["d:1"] == 1 and hops["d:2"] == 1 and hops["d:10"] == 1
+    assert hops["t:join"] == 2 and hops["t:window"] == 2
+    assert "t:hash" not in hops and "d:4" not in hops
+
+    _assert_oracle_parity(
+        spark, _duck_on(sf),
+        ("kg_nodes_upsert", "kg_khop_neighborhood"), sf)
