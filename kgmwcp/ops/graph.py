@@ -95,6 +95,19 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     return ranks.select("node", "rank", "n_nodes")
 
 
+# the DuckDB statement of _mentions(), shared by every oracle below —
+# the keyword set / denylist must change in exactly TWO places
+# (_KEYWORDS_RX + here), not once per oracle (review finding)
+_SQL_MENTIONS_CTE = r"""mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
+    FROM documents
+  ) WHERE token <> 'scan'
+)"""
+
+
 def _mentions(docs):
     """Distinct (doc_id, token) keyword mentions (T1-shape extract)."""
     return (
@@ -169,19 +182,12 @@ SELECT node, round(rank * (SELECT n FROM nn), 4) AS rank_norm FROM pr{_PR_ITERS}
 
 
 SQL_KG_PAGERANK = _pr_unrolled(r"""
-WITH mentions AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text),
-                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
-    FROM documents
-  ) WHERE token <> 'scan'
-),
+WITH {mentions},
 edges AS (
   SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst FROM mentions
   UNION ALL
   SELECT 't:' || token, 'd:' || CAST(doc_id AS VARCHAR) FROM mentions
-)""")
+)""".format(mentions=_SQL_MENTIONS_CTE))
 
 
 # -- PageRank over the ACTUAL constructed knowledge graph ---------------------
@@ -367,14 +373,7 @@ def q_kg_nodes_upsert(spark, sf_dir):
 
 
 SQL_KG_NODES_UPSERT = r"""
-WITH mentions AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text),
-                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
-    FROM documents
-  ) WHERE token <> 'scan'
-),
+WITH {mentions},
 standing AS (
   SELECT token, count(*) AS s_n, min(doc_id) AS s_first
   FROM mentions WHERE doc_id % 10 <> 0 GROUP BY token
@@ -391,7 +390,7 @@ SELECT coalesce(s.token, w.token) AS token,
             WHEN w_n IS NULL THEN 'unchanged'
             ELSE 'update' END AS action
 FROM standing s FULL OUTER JOIN wave w ON s.token = w.token
-"""
+""".format(mentions=_SQL_MENTIONS_CTE)
 
 
 # -- k-hop neighborhood export ------------------------------------------------
@@ -432,14 +431,7 @@ def q_kg_khop_neighborhood(spark, sf_dir):
 
 
 SQL_KG_KHOP_NEIGHBORHOOD = r"""
-WITH mentions AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id,
-           unnest(regexp_extract_all(lower(text),
-                  '\b(spark|join|merge|hash|scan|window|stream)\b')) AS token
-    FROM documents
-  ) WHERE token <> 'scan'
-),
+WITH {mentions},
 edges AS (
   SELECT 'd:' || CAST(doc_id AS VARCHAR) AS src, 't:' || token AS dst
   FROM mentions
@@ -462,7 +454,7 @@ hop2 AS (
 SELECT node, hop FROM hop0
 UNION ALL SELECT node, hop FROM hop1
 UNION ALL SELECT node, hop FROM hop2
-"""
+""".format(mentions=_SQL_MENTIONS_CTE)
 
 
 QUERIES = {

@@ -722,9 +722,22 @@ def q_sketch_distinct_kmv(spark, sf_dir):
         .select("lang", F.md5(F.encode(F.lower("tok"), "utf-8")).alias("h"))
         .dropDuplicates(["lang", "h"])
     )
+    # two-level top-K: a single window per lang would funnel the whole
+    # distinct-hash universe of a language into ONE task's sort (the
+    # hot-key shape _SIG_CAP etc. exist to avoid).  Level 1 keeps K per
+    # (lang, 2-hex-digit bucket) — 256-way parallel, each bucket tiny;
+    # the global window then sorts at most 256*K survivors per lang.
+    # The survivors provably contain the global top-K, so the result
+    # (and the oracle, which states the single-window form) is identical.
+    w_local = Window.partitionBy("lang", F.substring("h", 1, 2)).orderBy("h")
+    survivors = (
+        toks.withColumn("rn1", F.row_number().over(w_local))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("rn1")
+    )
     w = Window.partitionBy("lang").orderBy("h")
     kth = (
-        toks.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
         .groupBy("lang")
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_found"))
@@ -797,13 +810,23 @@ _DEFANG_RX = (
 )
 
 
+# the URL branch's greedy [^\s]+ swallows trailing sentence punctuation
+# ('see hxxp://evil[.]com/x, then ...') — strip it before refanging so
+# the downstream normalizer never sees 'http://evil.com/x,'
+_TRAIL_PUNCT_RX = r"[.,;:!?)\]]+$"
+
+
 def q_text_refang_iocs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     cand = docs.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit(_DEFANG_RX), 0)
-        ).alias("defanged"),
+        ).alias("raw"),
+    ).select(
+        "doc_id",
+        F.regexp_replace(F.col("raw"), F.lit(_TRAIL_PUNCT_RX), F.lit(""))
+        .alias("defanged"),
     )
     refanged = F.regexp_replace(
         F.regexp_replace(F.col("defanged"), F.lit(r"\[\.\]"), F.lit(".")),
@@ -828,10 +851,14 @@ SELECT DISTINCT doc_id, defanged,
        CASE WHEN defanged LIKE 'hxxp%' THEN 'url' ELSE 'domain' END AS kind
 FROM (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text),
-            'hxxps?://[^ \t\n\x0B\f\r]+|[A-Za-z0-9-]+(?:\[\.\][A-Za-z0-9-]+)+'))
-           AS defanged
-  FROM documents
+         regexp_replace(raw, '[.,;:!?)\]]+$', '') AS defanged
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+              'hxxps?://[^ \t\n\x0B\f\r]+|[A-Za-z0-9-]+(?:\[\.\][A-Za-z0-9-]+)+'))
+             AS raw
+    FROM documents
+  )
 )
 """
 
@@ -852,9 +879,12 @@ def q_text_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    # explode first, then codegen'd lower on the scalar — an interpreted
+    # transform() lambda over the array is ~20x slower (CLAUDE.md); the
+    # generator can't nest inside lower(), so two selects
     toks = docs.select(
-        "doc_id", F.explode(F.transform(_ws_tokens(), lambda x: F.lower(x))).alias("tok")
-    )
+        "doc_id", F.explode(_ws_tokens()).alias("raw_tok")
+    ).select("doc_id", F.lower("raw_tok").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select("doc_id").distinct().agg(
@@ -864,7 +894,10 @@ def q_text_tfidf_topk(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+            # rank on the ROUNDED score: a 1-ulp JVM-log vs glibc-log
+            # divergence on mathematically tied scores could otherwise
+            # make the engines pick different top-3 rows at the cutoff
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 4),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
@@ -872,7 +905,7 @@ def q_text_tfidf_topk(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TFIDF_TOPK)
         .select("doc_id", "rnk", "tok", "tf", "df",
-                F.round("score", 4).alias("tfidf"))
+                F.col("score").alias("tfidf"))
     )
 
 
@@ -890,10 +923,10 @@ df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
 scored AS (
   SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-         tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)) AS score
+         round(tf.tf * ln((n.n_docs + 1) / (df.df + 1.0)), 4) AS score
   FROM tf JOIN df ON tf.tok = df.tok, n
 )
-SELECT doc_id, rnk, tok, tf, df, round(score, 4) AS tfidf FROM (
+SELECT doc_id, rnk, tok, tf, df, score AS tfidf FROM (
   SELECT doc_id, tok, tf, df, score,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, tok) AS rnk

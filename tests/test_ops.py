@@ -633,6 +633,7 @@ def test_refang_iocs_planted(spark, tmp_path):
         (1, "c2 at hxxps://evil[.]example[.]com/gate.php and evil[.]example[.]com "
             "plus EVIL[.]example[.]com again", "en", "s", 1),
         (2, "perfectly clean text with no indicators at all", "en", "s", 1),
+        (3, "see hxxp://bad[.]example[.]org/x, then stop.", "en", "s", 1),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(
@@ -647,7 +648,10 @@ def test_refang_iocs_planted(spark, tmp_path):
     assert url["kind"] == "url"
     dom = out[(1, "evil[.]example[.]com")]
     assert dom["ioc"] == "evil.example.com" and dom["kind"] == "domain"
-    assert len(out) == 2                     # lowercased + deduped
+    # trailing sentence punctuation trimmed before refanging
+    tail = out[(3, "hxxp://bad[.]example[.]org/x")]
+    assert tail["ioc"] == "http://bad.example.org/x"
+    assert len(out) == 3                     # lowercased + deduped
     assert not any(d == 2 for d, _ in out)
 
     _assert_oracle_parity(spark, _duck_on(sf), ("text_refang_iocs",), sf)
