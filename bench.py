@@ -59,6 +59,7 @@ EXTENDED_OPS = [
     "dedup_incremental",
     "events_sessionize",
     "events_funnel",
+    "events_retention",
     "kg_pagerank_pipeline",
     "kg_triples_diff",
     "kg_nodes_upsert",

@@ -602,10 +602,70 @@ FROM st
 """
 
 
+# -- cohort retention ---------------------------------------------------------
+# Users cohorted by the ISO week of their first event; retention =
+# fraction of the cohort active at each whole-week offset.  Both engines
+# truncate weeks to ISO Monday, and the offset is integer day-diff // 7
+# (never timestamp subtraction — DST/precision-proof).  Two groupBys on
+# user_id (first-seen reuses the exchange) + one on the tiny
+# (cohort, offset) key space.
+
+def q_events_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd")
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+            ).alias("week_offset"),
+        )
+    )
+    cs = first.groupBy(cohort.alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(cs, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4)
+            .alias("retention"),
+        )
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id,
+         strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+         date_diff('day', f.first_ts::DATE, e.ts::DATE) // 7 AS week_offset
+  FROM events e JOIN first f USING (user_id)
+),
+cs AS (
+  SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+         count(*) AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT a.cohort_week, week_offset,
+       count(DISTINCT user_id) AS n_active, cohort_size,
+       round(count(DISTINCT user_id)::DOUBLE / cohort_size, 4) AS retention
+FROM act a JOIN cs ON a.cohort_week = cs.cohort_week
+GROUP BY a.cohort_week, week_offset, cohort_size
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -631,6 +691,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,
