@@ -60,6 +60,7 @@ EXTENDED_OPS = [
     "events_sessionize",
     "events_funnel",
     "events_retention",
+    "events_anomaly_zscore",
     "kg_pagerank_pipeline",
     "kg_triples_diff",
     "kg_nodes_upsert",

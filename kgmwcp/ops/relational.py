@@ -661,11 +661,69 @@ GROUP BY a.cohort_week, week_offset, cohort_size
 """
 
 
+# -- volume anomaly detection -------------------------------------------------
+# The monitoring query over the metrics stage's hourly rollup: per
+# event_type, each hour's count is z-scored against that type's own
+# hourly distribution (population stddev); |z| >= 2 flags the hour.
+# Two small aggregates (hourly rollup, per-type moments) + a broadcast
+# join back — the stats side is one row per type, so the join never
+# shuffles the rollup.  z is rounded to 4 dp (stddev is the one
+# reduction here whose fp summation order differs across engines; the
+# difference is ~1e-12 relative, far below the rounding granularity).
+
+def q_events_anomaly_zscore(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    hourly = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    # the flag derives from the ROUNDED z: a boundary value within fp
+    # noise of 2.0 must not flip the boolean across engines
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", F.round(z, 4))
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "zscore",
+            (F.abs(F.col("zscore")) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+SQL_EVENTS_ANOMALY_ZSCORE = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, hour, n, zscore, abs(zscore) >= 2.0 AS is_anomaly
+FROM (
+  SELECT h.event_type, hour, n,
+         round(CASE WHEN sigma > 0 THEN (n - mu) / sigma ELSE 0.0 END, 4)
+           AS zscore
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+)
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -692,6 +750,7 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,
