@@ -61,6 +61,8 @@ EXTENDED_OPS = [
     "events_funnel",
     "events_retention",
     "events_anomaly_zscore",
+    "tpch_q1",
+    "tpch_q3",
     "kg_pagerank_pipeline",
     "kg_triples_diff",
     "kg_nodes_upsert",

@@ -718,12 +718,134 @@ FROM (
 """
 
 
+# -- TPC-H Q1 / Q3 (cent-exact money) -----------------------------------------
+# The two standard-benchmark shapes, stated directly so a reader can see
+# the engine runs them: Q1's wide aggregate and Q3's join→top-k.  Money
+# is computed in EXACT integer cents (CAST(round(x*100) AS BIGINT)) so
+# every sum is order-independent and bit-identical across engines — the
+# naive sum(double) diverges in the last ulps once accumulated error
+# (~N·eps·S) exceeds the 4 dp rounding step, which at sf0.1 it does.
+# The cent grid loses sub-cent precision on the 3-factor charge product
+# (by design: the fixed-point money pattern); rounding to cents is a
+# single deterministic IEEE op chain on identical inputs.
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("base_c"),
+        F.sum(_cents(disc)).alias("disc_c"),
+        F.sum(_cents(charge)).alias("charge_c"),
+        F.sum(_cents(F.col("l_discount"))).alias("disc_pct_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        F.round(F.col("base_c") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("disc_c") / 100.0, 2).alias("sum_disc_price"),
+        F.round(F.col("charge_c") / 100.0, 2).alias("sum_charge"),
+        F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("base_c") / 100.0 / F.col("count_order"), 4)
+        .alias("avg_price"),
+        F.round(F.col("disc_pct_c") / 100.0 / F.col("count_order"), 4)
+        .alias("avg_disc"),
+        "count_order",
+    )
+
+
+SQL_TPCH_Q1 = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_c,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS disc_c,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                  AS BIGINT)) AS charge_c,
+         sum(CAST(round(l_discount * 100) AS BIGINT)) AS disc_pct_c,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, CAST(sum_qty AS BIGINT) AS sum_qty,
+       round(base_c / 100.0, 2) AS sum_base_price,
+       round(disc_c / 100.0, 2) AS sum_disc_price,
+       round(charge_c / 100.0, 2) AS sum_charge,
+       round(sum_qty / CAST(count_order AS DOUBLE), 4) AS avg_qty,
+       round(base_c / 100.0 / count_order, 4) AS avg_price,
+       round(disc_pct_c / 100.0 / count_order, 4) AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(F.sum(_cents(disc)).alias("revenue_c"))
+    return (
+        agg.orderBy(F.col("revenue_c").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("revenue_c") / 100.0, 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+WITH agg AS (
+  SELECT l_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderpriority,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate > TIMESTAMP '1998-03-15'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, round(revenue_c / 100.0, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM agg
+ORDER BY revenue_c DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_anomaly_zscore": q_events_anomaly_zscore,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -751,6 +873,8 @@ ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,

@@ -164,3 +164,13 @@ def test_sessionize_single_exchange(spark):
     plan = _plan(q_events_sessionize(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q3_plan_shape(spark):
+    """Q3 must broadcast the filtered customer dim and take the top-10
+    without a global sort."""
+    from kgmwcp.ops.relational import q_tpch_q3
+
+    plan = _plan(q_tpch_q3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
