@@ -63,6 +63,7 @@ EXTENDED_OPS = [
     "events_anomaly_zscore",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q6",
     "kg_pagerank_pipeline",
     "kg_triples_diff",
     "kg_nodes_upsert",

@@ -838,6 +838,35 @@ LIMIT 10
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Q6 forecast-revenue: the pure scan→filter→sum shape whose entire
+    predicate set pushes down to the parquet scan (asserted in
+    test_plans) — one row out, zero joins, money in exact cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.agg(
+        F.round(F.sum(rev) / 100.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+             / 100.0, 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -846,6 +875,7 @@ QUERIES = {
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -875,6 +905,7 @@ ORACLES = {
     "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q6": SQL_TPCH_Q6,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,

@@ -174,3 +174,21 @@ def test_tpch_q3_plan_shape(spark):
     plan = _plan(q_tpch_q3(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_predicates_push_to_scan(spark):
+    """Q6's whole WHERE clause must reach the parquet scan as pushed
+    filters — at 100 TB this is the difference between reading a year
+    and reading everything.  (The compact plan toString truncates the
+    PushedFilters list, so assert on the formatted explain.)"""
+    from kgmwcp.ops.relational import q_tpch_q6
+
+    df = q_tpch_q6(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "Join" not in plan
+    # column pruning: only the four referenced columns are read
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
