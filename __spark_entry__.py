@@ -115,20 +115,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+def _golden_dir() -> str:
+    # call-time + env-overridable for the same relocation reason as
+    # graph.py's pipeline oracle
+    return os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for suite in _SUITES:
-        out.update(suite.ORACLES)
+        for name, sql in suite.ORACLES.items():
+            # callable entries resolve paths at call time (graph.py's
+            # pipeline oracle embeds the golden-parquet location, which
+            # must not be baked at module import — see that module)
+            out[name] = sql() if callable(sql) else sql
     # Pipeline oracles: the engine-independent golden tables derived by
     # kgmwcp/goldens.py (hashlib/uuid/json restatement of the reference's
     # documented semantics — no kgmwcp engine/stage code), serialized to
     # committed parquet by scripts/make_goldens.py at the same fixture
     # scale (replication=4, hot_rows=16) the queries above run.
     # tests/test_goldens.py pins the committed parquet to a fresh rebuild.
-    g = _GOLDEN_DIR
+    g = _golden_dir()
     out["pipeline_fixture_triples"] = (
         f"SELECT subj, pred, obj FROM read_parquet('{g}/pipeline_triples.parquet')"
     )

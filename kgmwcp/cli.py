@@ -65,6 +65,14 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                         help="JSON dict of external knowledge for parsers")
     parser.add_argument("--parser", default=None,
                         help="restrict routing to one parser group (default: auto)")
+    parser.add_argument("--parser-dir", dest="parser_dirs", action="append",
+                        default=[], metavar="DIR",
+                        help="register an external directory of Rule modules "
+                             "(repeatable; reference mwcp --parser-dir, "
+                             "mwcp/cli.py:108-113).  Groups appear in --list, "
+                             "auto-routing, --serve, and the extract stage; "
+                             "the directory must be visible on executors "
+                             "(shared FS or spark-submit --files)")
     parser.add_argument("--router", action="store_true",
                         help="enable the JVM signature router stage (YARA-routing "
                              "analogue): byte signatures pre-route each root to "
@@ -135,6 +143,7 @@ def _config_from_args(args):
         emit_file_data=args.residuals or args.include_file_data,
         greedy=args.greedy,
         include_file_data=args.include_file_data,
+        rule_dirs=tuple(args.parser_dirs),
     )
 
 
@@ -154,18 +163,32 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
 
         print(json.dumps(report_json_schema(), indent=4))
         return {}
+    if args.parser_dirs:
+        # driver-side registration so --list / --serve / routing see the
+        # external groups NOW; the extract workers re-register from
+        # config.rule_dirs (engine/registry.py is idempotent per process)
+        from kgmwcp.engine.registry import ensure_registered
+
+        ensure_registered(args.parser_dirs)
     if args.list_parsers:
         # reference `mwcp list` (cli.py:148-177): name/source/description
         # per parser; here grouped by routing group, JSON only (tabulate
         # is not in the container; the text renderers live in render.py)
         from kgmwcp.engine.parsers import RULE_GROUPS
+        from kgmwcp.engine.registry import registered_sources
 
+        ext_source = {
+            group: src
+            for src, groups in registered_sources().items()
+            for group in groups
+        }
         listing = [
             {
                 "group": group,
                 "rules": [
                     {"name": rule.name(), "description": rule.DESCRIPTION,
-                     "source": "kgmwcp"}
+                     "source": ("kgmwcp" if rule.__module__.startswith("kgmwcp.")
+                                else ext_source.get(group, "external"))}
                     for rule in rules
                 ],
             }

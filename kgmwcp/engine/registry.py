@@ -1,0 +1,115 @@
+"""External rule-source registration — "add my own parser without forking".
+
+Re-expresses the reference's one-off parser-directory registration
+(``mwcp/registry.py:171-198`` ``register_parser_directory``, entry-point
+loading ``:134-141``, CLI ``--parser-dir`` ``mwcp/cli.py:108-113``) for
+the Spark execution model: the DRIVER registers a directory so
+``--list`` / auto-routing / ``--serve`` see the new groups, and the
+extract stage re-registers the same directories INSIDE the mapInArrow
+worker before building its ExtractionEngine — the
+``multi_proc.initializer`` analogue (``mwcp/utils/multi_proc.py:15-18``)
+SURVEY §3 names, since executor processes never inherit driver-side
+module state.  The directory must therefore be visible on every
+executor (shared filesystem or ``spark-submit --files``), exactly like
+the reference's note that parser packages "must be discoverable in
+subprocesses" (``mwcp/registry.py:205-208``).
+
+A rule module is any non-``_``-prefixed ``*.py`` file in the directory.
+Every ``Rule`` subclass DEFINED in the module (imported ones are
+skipped) is collected in definition order; the module's rules join the
+group named by a module-level ``GROUP`` attribute, or the file stem.
+Joining an existing group appends after the built-ins (the reference
+composes named groups the same additive way,
+``mwcp/registry.py:316-367``); a NEW group is prepended to the
+auto-routing order — a user registering a bespoke parser wants it tried
+before the generic built-in fallbacks (the reference has no auto-order
+to extend: you name the parser or use YARA, ``mwcp/core.py:16-84``).
+
+Registration is idempotent per directory realpath, so the driver and
+every executor partition may call :func:`ensure_registered` freely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import os
+import sys
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from kgmwcp.engine.parsers import DEFAULT_GROUP_ORDER, RULE_GROUPS, Rule
+
+__all__ = ["register_rule_directory", "ensure_registered",
+           "registered_sources"]
+
+# realpath -> (source_name, contributed group names)
+_LOADED: Dict[str, Tuple[str, List[str]]] = {}
+
+
+def register_rule_directory(directory: str,
+                            source_name: Optional[str] = None) -> List[str]:
+    """Load every rule module in ``directory`` into the group registry.
+
+    Returns the group names the directory contributed (possibly empty).
+    Idempotent: re-registering the same realpath returns the original
+    contribution without re-importing.
+    """
+    real = os.path.realpath(directory)
+    if not os.path.isdir(real):
+        # reference error string, mwcp/registry.py:185-186
+        raise ValueError(
+            f"Parser directory not found or not a directory: {directory}")
+    if real in _LOADED:
+        return list(_LOADED[real][1])
+    source = source_name or real
+    # namespace module names by directory hash like the reference's
+    # _create_package (mwcp/registry.py:231-236) so two sources may both
+    # ship a module called e.g. rules.py
+    ns = hashlib.md5(real.encode("utf-8")).hexdigest()[:12]
+    groups: List[str] = []
+    for fname in sorted(os.listdir(real)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        stem = fname[:-3]
+        mod_name = f"kgmwcp_rules_{ns}_{stem}"
+        spec = importlib.util.spec_from_file_location(
+            mod_name, os.path.join(real, fname))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[mod_name] = mod
+        try:
+            spec.loader.exec_module(mod)
+        except Exception:
+            del sys.modules[mod_name]
+            raise
+        rules = [
+            v for v in vars(mod).values()
+            if isinstance(v, type) and issubclass(v, Rule) and v is not Rule
+            and v.__module__ == mod_name
+        ]
+        if not rules:
+            continue
+        group = getattr(mod, "GROUP", None) or stem
+        if group in RULE_GROUPS:
+            known = set(RULE_GROUPS[group])
+            RULE_GROUPS[group] = RULE_GROUPS[group] + [
+                r for r in rules if r not in known]
+        else:
+            RULE_GROUPS[group] = list(rules)
+            # in-place: dispatcher/engine modules hold THIS list object
+            DEFAULT_GROUP_ORDER.insert(0, group)
+        if group not in groups:
+            groups.append(group)
+    _LOADED[real] = (source, groups)
+    return groups
+
+
+def ensure_registered(rule_dirs: Iterable[str]) -> None:
+    """Executor-side (and re-entrant driver-side) entry point: register
+    each directory exactly once per python process."""
+    for d in rule_dirs or ():
+        register_rule_directory(d)
+
+
+def registered_sources() -> Dict[str, List[str]]:
+    """source name -> contributed groups (for --list / diagnostics)."""
+    return {src: list(groups) for src, groups in _LOADED.values()}

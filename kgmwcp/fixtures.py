@@ -390,12 +390,18 @@ def golden_pipeline_tables(spark):
     # and no cache clear (two live sessions alternating calls would
     # otherwise thrash, re-running the pipeline and stacking persists)
     key = spark.sparkContext.applicationId
+    # evict entries whose SparkContext has been stopped (pyspark nulls
+    # _jsc on stop()): their persisted-DataFrame handles are dead weight
+    # that would otherwise leak for the life of a multi-session process
+    for k, (sess, _) in list(_GOLDEN_TABLES_CACHE.items()):
+        if k != key and getattr(sess.sparkContext, "_jsc", None) is None:
+            del _GOLDEN_TABLES_CACHE[k]
     if key not in _GOLDEN_TABLES_CACHE:
         from kgmwcp.pipeline import Pipeline, PipelineConfig
 
         pipe = Pipeline(PipelineConfig(**GOLDEN_PIPELINE_CONFIG))
-        _GOLDEN_TABLES_CACHE[key] = pipe.run(golden_corpus(spark))
-    return _GOLDEN_TABLES_CACHE[key]
+        _GOLDEN_TABLES_CACHE[key] = (spark, pipe.run(golden_corpus(spark)))
+    return _GOLDEN_TABLES_CACHE[key][1]
 
 
 def iter_expected_root_hashes(replication: int = 1, hot_rows: int = 8) -> Iterator[str]:

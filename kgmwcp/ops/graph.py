@@ -3,15 +3,21 @@ doc↔entity mention graph (the KG analogue of ranking hot IOC entities the
 way the reference's report consumers rank common C2 infrastructure across
 samples; cf. /root/reference/mwcp/report.py aggregation semantics).
 
-Scale shape: each power-iteration round is one join (ranks → edges on
+Scale shape: edge weights are normalized ONCE before the loop into a
+persisted ``edges_norm(src, dst, frac=w/outdeg)`` table, so each
+power-iteration round is exactly one join (ranks → edges_norm on
 ``src``) plus one sum-aggregate on ``dst`` — the canonical shuffle-per-
-iteration PageRank plan.  Edge lists partition by src/dst hash; hot
+iteration PageRank plan.  The out-degree table is O(nodes) and is NEVER
+broadcast (round-4 VERDICT: a per-node broadcast OOMs past Spark's 8 GB
+table limit on a billion-node KG); it is consumed exactly once, in the
+pre-normalization join.  Edge lists partition by src/dst hash; hot
 entities (a token mentioned by every doc) are *receivers* of a sum
 aggregate, which Spark computes with map-side partial aggregation, so a
 high-in-degree node is NOT a skew problem (unlike a hot join key).  The
 iteration count is fixed (``_PR_ITERS``) so the DuckDB oracle can unroll
 the exact same rounds as chained CTEs — no recursive-CTE aggregation
-restrictions, bit-comparable at 4 dp.
+restrictions, bit-comparable at 4 dp (the oracle states the same
+pre-normalized ``frac`` form so per-edge fp rounding is identical).
 """
 
 from __future__ import annotations
@@ -34,7 +40,8 @@ def _docs(spark, sf_dir):
 
 def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
              damping: float = _PR_DAMPING,
-             weight: str | None = None) -> DataFrame:
+             weight: str | None = None,
+             materialize: bool = True) -> DataFrame:
     """PageRank over an (src, dst[, w]) edge list, optionally weighted.
 
     Returns (node, rank, n_nodes) over the nodes that appear in
@@ -54,11 +61,23 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     with w=1 (rank·1/Σ1 is bit-identical to rank/outdeg), so one code
     path serves both and the unweighted oracles stay valid.
     """
+    from pyspark import StorageLevel
+
     if weight is None:
         edges = edges.select("src", "dst", F.lit(1).alias("w"))
     else:
         edges = edges.select("src", "dst", F.col(weight).alias("w"))
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    # normalize once, outside the loop: frac = w/outdeg(src).  outdeg is
+    # a per-NODE table, so this join must be a shuffle join (no broadcast
+    # hint — at 10^9 nodes a broadcast would exceed the 8 GB limit and
+    # kill the job); persisting the result makes every iteration one
+    # shuffle join + one aggregate and drops the per-round degree join.
+    edges_norm = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("outdeg")).alias("frac"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -71,11 +90,9 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     )
     for i in range(iters):
         contrib = (
-            ranks.join(edges, ranks.node == edges.src)
-            .join(F.broadcast(outdeg), "src")
+            ranks.join(edges_norm, ranks.node == edges_norm.src)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("outdeg"))
-                 .alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
         )
         ranks = (
             ranks.select("node", "n_nodes")
@@ -92,7 +109,16 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
         if (i + 1) % 4 == 0:
             # truncate the join-per-round lineage like dedup_cluster does
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", "rank", "n_nodes")
+    # materialize the final ranks (eager checkpoint also truncates the
+    # remaining lineage), then release the normalized-edge cache — the
+    # returned frame no longer references it, so callers can't leak it.
+    # materialize=False keeps the full lazy plan (edges_norm stays
+    # persisted, caller owns its lifecycle) — used by plan audits.
+    ranks = ranks.select("node", "rank", "n_nodes")
+    if materialize:
+        ranks = ranks.localCheckpoint()
+        edges_norm.unpersist()
+    return ranks
 
 
 # the DuckDB statement of _mentions(), shared by every oracle below —
@@ -149,14 +175,22 @@ def _pr_unrolled(with_edges_head: str, weighted: bool = False) -> str:
     and the generator appends the degree/teleport machinery plus
     _PR_ITERS identical rounds."""
     d = _PR_DAMPING
+    # mirror pagerank()'s pre-normalized edges_norm(src, dst, frac):
+    # frac is rounded per-EDGE before the iteration multiplies it by the
+    # rank, exactly as the Spark plan computes it — keeping the division
+    # inside the loop would change fp rounding order vs the engine.
     if weighted:
         deg = "outdeg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src)"
-        num = "p.rank * e.w"
+        frac = "e.w / o.outdeg"
     else:
         deg = "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"
-        num = "p.rank"
+        frac = "1.0::DOUBLE / o.outdeg"
     core = f""",
 {deg},
+edges_norm AS (
+  SELECT e.src, e.dst, {frac} AS frac
+  FROM edges e JOIN outdeg o ON o.src = e.src
+),
 nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
@@ -169,9 +203,8 @@ pr{i + 1} AS (
          (1.0::DOUBLE - {d}) / (SELECT n FROM nn)
          + {d} * coalesce(c.contrib, 0.0::DOUBLE) AS rank
   FROM nodes LEFT JOIN (
-    SELECT e.dst AS node, sum({num} / o.outdeg) AS contrib
-    FROM pr{i} p JOIN edges e ON e.src = p.node
-    JOIN outdeg o ON o.src = e.src
+    SELECT e.dst AS node, sum(p.rank * e.frac) AS contrib
+    FROM pr{i} p JOIN edges_norm e ON e.src = p.node
     GROUP BY e.dst
   ) c ON c.node = nodes.node
 )""")
@@ -221,7 +254,11 @@ def q_kg_pagerank_pipeline(spark, sf_dir):
 
 
 def _sql_kg_pagerank_pipeline() -> str:
-    g = os.path.join(_REPO_ROOT, "golden")
+    # resolved at oracle_sql() CALL time, not module import: a --py-files
+    # zip or relocated checkout changes __file__, and baking the path at
+    # import would silently produce an unreadable oracle (round-4 ADVICE);
+    # KGMWCP_GOLDEN_DIR overrides for fully detached deployments.
+    g = os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(_REPO_ROOT, "golden")
     return _pr_unrolled(f"""
 WITH triples AS (
   SELECT subj, pred, obj FROM read_parquet('{g}/pipeline_triples.parquet')
@@ -232,9 +269,6 @@ fwd AS (
 edges AS (
   SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
 )""")
-
-
-SQL_KG_PAGERANK_PIPELINE = _sql_kg_pagerank_pipeline()
 
 
 # -- weighted PageRank (term-frequency edges) ---------------------------------
@@ -471,6 +505,7 @@ ORACLES = {
     "kg_khop_neighborhood": SQL_KG_KHOP_NEIGHBORHOOD,
     "kg_pagerank": SQL_KG_PAGERANK,
     "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
-    "kg_pagerank_pipeline": SQL_KG_PAGERANK_PIPELINE,
+    # callable: resolved when oracle_sql() is built (see _sql_kg_pagerank_pipeline)
+    "kg_pagerank_pipeline": _sql_kg_pagerank_pipeline,
     "kg_triples_diff": SQL_KG_TRIPLES_DIFF,
 }

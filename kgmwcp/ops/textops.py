@@ -743,7 +743,15 @@ def q_sketch_distinct_kmv(spark, sf_dir):
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_found"))
     )
     exact = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_distinct"))
-    frac = F.conv(F.substring("kth", 1, 15), 16, 10).cast("double") / float(16 ** 15)
+    # greatest(·, 5e-19) guards the ~16^-15 chance that the kth hash's
+    # first 15 hex digits are all zero: without it Spark emits Infinity
+    # where DuckDB errors, so the twins would diverge in HOW they fail.
+    # 5e-19 is below the smallest nonzero frac (16^-15 ≈ 8.67e-19), so
+    # the guard only fires at exactly zero — both engines then agree.
+    frac = F.greatest(
+        F.conv(F.substring("kth", 1, 15), 16, 10).cast("double") / float(16 ** 15),
+        F.lit(5e-19),
+    )
     est = F.when(
         F.col("k_found") < _KMV_K, F.col("k_found").cast("double")
     ).otherwise((_KMV_K - 1) / frac)
@@ -783,7 +791,8 @@ est AS (
   SELECT kth.lang, exact_distinct,
          CASE WHEN k_found < {k} THEN k_found::DOUBLE
               ELSE ({k} - 1)
-                   / (('0x' || substr(kth, 1, 15))::BIGINT / 1152921504606846976.0)
+                   / greatest(('0x' || substr(kth, 1, 15))::BIGINT
+                              / 1152921504606846976.0, 5e-19)
          END AS e
   FROM kth JOIN exact ON kth.lang = exact.lang
 )
@@ -867,10 +876,26 @@ FROM (
 # Per-doc top-3 terms by tf·idf with smoothed idf = ln((N+1)/(df+1)) —
 # the keyword-weighting pass KG entity extraction and corpus search both
 # build on.  Scale shape: tf is one (doc, token) groupBy; df reuses tf's
-# distinct rows with a second groupBy on token; the tf⋈df join shuffles
-# on token (AQE may broadcast a small vocabulary); the top-k is a
-# per-doc window rank with a deterministic (score desc, token asc)
-# tie-break so both engines pick identical rows.
+# distinct rows with a second groupBy on token; the top-k is a per-doc
+# window rank with a deterministic (score desc, token asc) tie-break so
+# both engines pick identical rows.
+#
+# Zipf-head skew on the tf⋈df token join (round-4 VERDICT #2) — resolved
+# by AQE's runtime size-gated broadcast, A/B-measured (scripts/ab_tfidf.py,
+# sf0.1, interleaved rounds):
+#   shuffle join (this shape)  warm median 1.04-1.19 s
+#   explicit F.broadcast(df)   warm median 1.23-1.39 s (extra tokenize
+#                              pass to build the broadcast from scratch)
+#   + tf persisted             1.61-1.90 s (materialization barrier loses,
+#                              same as the ngram shingle-table finding)
+# and the r4 bench's 13.7 s reproduces only as FIRST-query-in-session
+# warmup (cold penalty follows run order, not variant — 5.5-7.4 s for
+# whichever variant runs first).  At runtime AQE converts this join to
+# BroadcastHashJoin from df's ACTUAL shuffle size (pinned in
+# test_plans.test_tfidf_join_broadcasts_at_runtime) — the size-gated
+# broadcast with zero extra passes and no driver-side count; a 100 TB
+# vocab too big to broadcast falls back to SMJ where AQE skew-join
+# splits the Zipf-head partitions (both flags on in session.py).
 
 _TFIDF_TOPK = 3
 

@@ -56,6 +56,11 @@ class PipelineConfig:
     # reference report.py:112,536-541: keep base64 payload bytes in File
     # report elements. Requires emit_file_data (bytes must be present).
     include_file_data: bool = False
+    # external parser sources (reference mwcp/registry.py:171-198, CLI
+    # --parser-dir): directories of out-of-tree Rule modules, re-imported
+    # inside every extract worker (engine/registry.py).  Paths must be
+    # visible on executors (shared FS or spark-submit --files).
+    rule_dirs: tuple = ()
 
 
 class Pipeline:
@@ -81,6 +86,7 @@ class Pipeline:
             route_scope="root" if self.config.use_router else "all",
             emit_file_data=self.config.emit_file_data,
             greedy=self.config.greedy,
+            rule_dirs=self.config.rule_dirs,
         )
 
     # -- full run ----------------------------------------------------------
@@ -157,6 +163,7 @@ class Pipeline:
             route_scope="root" if self.config.use_router else "all",
             emit_file_data=self.config.emit_file_data,
             greedy=self.config.greedy,
+            rule_dirs=self.config.rule_dirs,
         )
         ckpt.write_records(records, fail_after_buckets=fail_after_buckets)
         committed = ckpt.read_records()

@@ -162,15 +162,22 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
                     knowledge_base: Optional[dict] = None,
                     route_scope: str = "all",
                     emit_file_data: bool = False,
-                    greedy: bool = False) -> DataFrame:
+                    greedy: bool = False,
+                    rule_dirs: tuple = ()) -> DataFrame:
     """samples -> unified record stream (mentions + file tree + errors).
 
     ``route_scope``: "all" treats the route column as a named-parser
     restriction for the whole file tree; "root" treats it as a signature
     router hint (stages/router.py) — first-try priority for the root,
     auto fallback everywhere else.
+
+    ``rule_dirs``: external parser-source directories (engine/registry.py)
+    re-registered inside each worker — executor processes never see
+    driver-side registry mutations, so the directory list rides the
+    closure and loads lazily per python worker (idempotent).
     """
     kb = dict(knowledge_base or {})
+    dirs = tuple(rule_dirs or ())
     needed = ["repo", "path", "commit", "route", "content_bin", "bucket"]
 
     def mapper(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -180,6 +187,10 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
         # the identify-cache warm across batches.
         from kgmwcp.engine.dispatcher import ExtractionEngine
 
+        if dirs:
+            from kgmwcp.engine.registry import ensure_registered
+
+            ensure_registered(dirs)
         engine = ExtractionEngine(group_order=group_order, greedy=greedy)
         for batch in batches:
             yield _process_arrow_batch(batch, engine, kb, route_scope,

@@ -166,6 +166,48 @@ def test_sessionize_single_exchange(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pagerank_no_per_node_broadcast(spark):
+    """No O(nodes) relation may carry a broadcast hint: with the
+    auto-broadcast threshold disabled, the only broadcast left in the
+    full iteration plan is the 1-row n_nodes scalar (a nested-loop
+    cross join).  The round-4 defect — F.broadcast(outdeg) inside the
+    loop — survives a disabled threshold and shows as BroadcastHashJoin,
+    so this asserts its absence on the un-materialized plan."""
+    from kgmwcp.ops import graph
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        m = graph._mentions(docs)
+        fwd = m.select(
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(F.lit("t:"), "token").alias("dst"))
+        edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst")))
+        ranks = graph.pagerank(edges, materialize=False)
+        plan = _plan(ranks)
+        assert "BroadcastHashJoin" not in plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tfidf_join_broadcasts_at_runtime(spark):
+    """AQE must convert the tf⋈df token join to a broadcast from df's
+    actual shuffle size (the size-gated broadcast that neutralizes the
+    Zipf-head skew without an extra pass) — asserted on the FINAL
+    adaptive plan after execution, since the static plan only shows the
+    shuffle shape."""
+    from kgmwcp.ops import textops
+
+    df = textops.q_text_tfidf_topk(spark, SF)
+    df.count()  # materialize so AQE finalizes the plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tpch_q3_plan_shape(spark):
     """Q3 must broadcast the filtered customer dim and take the top-10
     without a global sort."""

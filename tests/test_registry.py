@@ -1,0 +1,112 @@
+"""External parser-source registration (engine/registry.py) — the
+reference's `--parser-dir` one-off parser flow (mwcp/registry.py:171-198,
+mwcp/cli.py:108-113) carried through registry -> routing -> the full
+Spark extract pipeline."""
+
+import json
+
+import pytest
+
+from kgmwcp.engine import registry
+from kgmwcp.engine.parsers import DEFAULT_GROUP_ORDER, RULE_GROUPS
+
+TOY_RULE = '''
+GROUP = "ToyVendor"
+
+from kgmwcp import canonical as md
+from kgmwcp.engine.fileobj import SampleFile
+from kgmwcp.engine.parsers import Rule
+
+
+class ToyConfig(Rule):
+    DESCRIPTION = "Toy vendor config"
+
+    @classmethod
+    def identify(cls, f):
+        return f.data.startswith(b"TOYCFG")
+
+    def run(self, f, ctx, *run_args):
+        for line in f.data[6:].decode("utf-8", "replace").splitlines():
+            if line.startswith("c2="):
+                ctx.add(md.URL(line[3:]))
+            elif line.startswith("mutex="):
+                ctx.add(md.Mutex(line[6:]))
+        ctx.dispatch(SampleFile(b"residual payload",
+                                name="toy_residual.bin",
+                                description="toy residual"))
+'''
+
+
+@pytest.fixture()
+def toy_dir(tmp_path):
+    d = tmp_path / "toyrules"
+    d.mkdir()
+    (d / "toy_vendor.py").write_text(TOY_RULE)
+    (d / "_helper.py").write_text("IGNORED = True\n")  # _-prefixed: skipped
+    (d / "notes.txt").write_text("not python\n")
+    yield str(d)
+    # undo the registration so the shared-session test suite stays clean
+    if "ToyVendor" in RULE_GROUPS:
+        del RULE_GROUPS["ToyVendor"]
+    if "ToyVendor" in DEFAULT_GROUP_ORDER:
+        DEFAULT_GROUP_ORDER.remove("ToyVendor")
+    registry._LOADED.pop(__import__("os").path.realpath(str(d)), None)
+
+
+def test_register_directory_updates_registry_and_order(toy_dir):
+    contributed = registry.register_rule_directory(toy_dir, source_name="toy")
+    assert contributed == ["ToyVendor"]
+    assert [r.name() for r in RULE_GROUPS["ToyVendor"]] == ["ToyConfig"]
+    # new groups are PREPENDED: user rules are tried before generic
+    # built-ins (Decoy ext-rename, Archive unpack)
+    assert DEFAULT_GROUP_ORDER[0] == "ToyVendor"
+    # idempotent per realpath — no duplicate rules, no duplicate order slot
+    assert registry.register_rule_directory(toy_dir) == ["ToyVendor"]
+    assert len(RULE_GROUPS["ToyVendor"]) == 1
+    assert DEFAULT_GROUP_ORDER.count("ToyVendor") == 1
+    assert registry.registered_sources() == {"toy": ["ToyVendor"]}
+
+
+def test_register_missing_directory_raises(tmp_path):
+    with pytest.raises(ValueError, match="Parser directory not found"):
+        registry.register_rule_directory(str(tmp_path / "nope"))
+
+
+def test_toy_rule_routes_and_extracts_end_to_end(spark, toy_dir):
+    """An out-of-tree rule must flow through the REAL pipeline: auto
+    routing picks it up (prepended group), the extract worker re-imports
+    the directory via config.rule_dirs, mentions land in triples, and
+    the dispatched residual becomes a file_node child."""
+    from kgmwcp.pipeline import Pipeline, PipelineConfig
+    from kgmwcp.stages.ingest import single_sample_docs
+
+    payload = b"TOYCFGc2=http://evil.example/gate.php\nmutex=TOYMUTEX\n"
+    docs = single_sample_docs(spark, payload, "sample.toy")
+    pipe = Pipeline(PipelineConfig(n_buckets=4, rule_dirs=(toy_dir,)))
+    tables = pipe.run(docs)
+    try:
+        triples = {(r.pred, r.obj) for r in tables["triples"].collect()}
+        preds = {p for p, _ in triples}
+        assert "url" in preds and "mutex" in preds
+        assert any("evil.example" in o for _, o in triples)
+        assert any("TOYMUTEX" in o for p, o in triples if p == "mutex")
+        files = tables["files"].collect()
+        assert any(f.name == "toy_residual.bin" for f in files)
+        parsers = {r.parser for r in tables["records"]
+                   .filter("kind = 'file_node' and depth = 0").collect()}
+        assert parsers == {"ToyConfig"}
+    finally:
+        tables["records"].unpersist()
+
+
+def test_cli_list_includes_external_group(toy_dir, capsys):
+    from kgmwcp.cli import main
+
+    summary = main(["--list", "--parser-dir", toy_dir])
+    assert summary == {}
+    listing = json.loads(capsys.readouterr().out)
+    groups = {g["group"]: g["rules"] for g in listing}
+    assert [r["name"] for r in groups["ToyVendor"]] == ["ToyConfig"]
+    # external rules carry their source (the registered directory), not
+    # the built-in "kgmwcp" tag
+    assert groups["ToyVendor"][0]["source"].endswith("toyrules")
