@@ -6,15 +6,31 @@ not in the container).  The server holds ONE SparkSession and serves
 each request by running the SAME Pipeline a batch run uses on a
 one-row corpus, so there is no second extraction code path to drift:
 
-  GET  /                     -> service banner (endpoints)
-  GET  /parsers              -> JSON list of parser groups
-  POST /run_parser           -> report document for the uploaded file
-  POST /run_parser/<parser>  -> routed to one parser group
+  GET  /                       -> service banner (endpoints)
+  GET  /parsers                -> JSON list of parser groups
+  GET  /descriptions           -> [name, author, description] triples
+                                  (reference server.py:134-146)
+  GET  /schema.json            -> report JSON Schema (server.py:149-154)
+  GET  /logs                   -> reference-parity stub (server.py:157-173:
+                                  "no longer supported" / 403 when disabled)
+  GET  /upload                 -> minimal HTML upload form (the reference
+                                  renders upload.html, server.py:123-131;
+                                  ours is a static form — no pygments/
+                                  jinja in the container)
+  POST /run_parser             -> report document for the uploaded file
+  POST /run_parser/<parser>    -> routed to one parser group
+  POST /run_parsers/<parsers>  -> '/'-separated groups, one report each
+                                  (reference server.py:63-97, incl. its
+                                  deprecation-warning errors entry)
 
 The upload rides the multipart/form-data field ``data``
 (reference-compatible, server.py:44-46) or, as a convenience, the raw
 request body.  Errors mirror the reference's strings ("No input file
-provided", unknown-parser 4xx).
+provided", unknown-parser 4xx).  Deviation from the reference: an
+unknown group inside /run_parsers yields a per-parser ``{"errors":
+[...]}`` document instead of an empty report (more diagnosable, shape
+pinned in tests); request bodies above ``max_body`` are rejected 413
+before being read (the reference delegates this to its WSGI server).
 
 Serving a distributed batch engine over HTTP is a dev/integration
 surface, not the 100 TB path — per-request latency is one tiny Spark
@@ -82,6 +98,27 @@ class KgServer:
 
         return sorted(RULE_GROUPS)
 
+    def descriptions(self) -> list:
+        """[name, author, description] per rule — the reference's
+        backwards-compat listing (server.py:134-146, tuples jsonify as
+        arrays).  Author is the rule's source: 'kgmwcp' for built-ins,
+        the registered directory for --parser-dir rules."""
+        from kgmwcp.engine.parsers import RULE_GROUPS
+        from kgmwcp.engine.registry import registered_sources
+
+        ext_source = {
+            group: src
+            for src, groups in registered_sources().items()
+            for group in groups
+        }
+        out = []
+        for group in sorted(RULE_GROUPS):
+            for rule in RULE_GROUPS[group]:
+                author = ("kgmwcp" if rule.__module__.startswith("kgmwcp.")
+                          else ext_source.get(group, "external"))
+                out.append([rule.name(), author, rule.DESCRIPTION])
+        return out
+
     def run(self, data: bytes, name: str, parser: Optional[str] = None) -> dict:
         """One uploaded blob -> its report document (the same report_json
         the batch pipeline writes).  ``parser`` must already be
@@ -100,12 +137,37 @@ class KgServer:
         return json.loads(rows[0]["report_json"])
 
 
+# reference server.py:74-76 (verbatim deprecation-warning errors entry)
+_RUN_PARSERS_DEP_WARNING = (
+    "Running multiple parsers in a single request will be changed "
+    "future version.")
+
+_UPLOAD_FORM = """<!DOCTYPE html>
+<html><head><title>kgmwcp upload</title></head><body>
+<h1>kgmwcp — run a parser</h1>
+<form action="/run_parser" method="post" enctype="multipart/form-data">
+  <label>File: <input type="file" name="data"></label><br>
+  <label>Parser: <select name="parser">
+    <option value="">(auto)</option>
+    {options}
+  </select></label><br>
+  <input type="submit" value="Run">
+</form></body></html>"""
+
+
 def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                 config=None,
-                knowledge_base: Optional[dict] = None) -> ThreadingHTTPServer:
+                knowledge_base: Optional[dict] = None,
+                max_body: int = 64 << 20,
+                disable_logs_endpoint: bool = False) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.server_address`` has
     the bound port (port=0 picks an ephemeral one).  Call
-    ``serve_forever()`` to run; ``shutdown()`` to stop."""
+    ``serve_forever()`` to run; ``shutdown()`` to stop.
+
+    ``max_body`` caps Content-Length (413 before the body is read — one
+    oversized upload must not exhaust driver memory);
+    ``disable_logs_endpoint`` mirrors the reference's
+    ``DISABLE_LOGS_ENDPOINT`` app-config key (server.py:167-171)."""
     kg = KgServer(spark, config=config, knowledge_base=knowledge_base)
 
     class Handler(BaseHTTPRequestHandler):
@@ -117,28 +179,64 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
             self.end_headers()
             self.wfile.write(payload)
 
+        def _send_html(self, html: str, status: int = 200) -> None:
+            payload = html.encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def log_message(self, fmt, *args):  # quiet: tests/CLI own stderr
             pass
 
         def do_GET(self):
-            if self.path.rstrip("/") == "":
+            path = self.path.split("?", 1)[0].rstrip("/")
+            if path == "":
                 self._send_json({
                     "service": "kgmwcp",
-                    "endpoints": ["GET /parsers", "POST /run_parser",
-                                  "POST /run_parser/<parser>"],
+                    "endpoints": ["GET /parsers", "GET /descriptions",
+                                  "GET /schema.json", "GET /logs",
+                                  "GET /upload", "POST /run_parser",
+                                  "POST /run_parser/<parser>",
+                                  "POST /run_parsers/<parsers>"],
                 })
-            elif self.path.rstrip("/") == "/parsers":
+            elif path == "/parsers":
                 self._send_json({"parsers": kg.parser_groups()})
+            elif path == "/descriptions":
+                # reference server.py:134-146: bare JSON array of
+                # (name, author, description) tuples
+                self._send_json(kg.descriptions())
+            elif path == "/schema.json":
+                from kgmwcp.schema import report_json_schema
+
+                self._send_json(report_json_schema())
+            elif path == "/logs":
+                # reference strings verbatim, server.py:157-173
+                if disable_logs_endpoint:
+                    self._send_json({"errors": [
+                        "Logs endpoint has been disabled by configuration"
+                    ]}, 403)
+                else:
+                    self._send_json({"errors": [
+                        "Logs endpoint is no longer supported."]})
+            elif path == "/upload":
+                options = "\n    ".join(
+                    f'<option value="{g}">{g}</option>'
+                    for g in kg.parser_groups())
+                self._send_html(_UPLOAD_FORM.format(options=options))
             else:
                 self._send_json({"errors": ["not found"]}, 404)
 
-        def do_POST(self):
-            match = re.fullmatch(r"/run_parser(?:/([^/]+))?/?", self.path)
-            if not match:
-                self._send_json({"errors": ["not found"]}, 404)
-                return
-            parser = match.group(1)
+        def _read_upload(self):
+            """-> (data, filename, fields) or None after sending an
+            error response (oversized body / no file)."""
             length = int(self.headers.get("Content-Length") or 0)
+            if length > max_body:
+                self._send_json(
+                    {"errors": [f"request body too large "
+                                f"({length} > {max_body} bytes)"]}, 413)
+                return None
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             data, filename, fields = (None, None, {})
@@ -146,11 +244,27 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                 data, filename, fields = _parse_multipart(ctype, body)
             elif body:
                 data = body  # raw-body convenience path
-            parser = parser or fields.get("parser") or None
             if not data:
-                # reference error string, server.py:...run_parsers
+                # reference error string, server.py:95,423
                 self._send_json({"errors": ["No input file provided"]}, 400)
+                return None
+            return data, filename, fields
+
+        def do_POST(self):
+            multi = re.fullmatch(r"/run_parsers/(.+?)/?", self.path)
+            if multi:
+                self._run_parsers(multi.group(1))
                 return
+            match = re.fullmatch(r"/run_parser(?:/([^/]+))?/?", self.path)
+            if not match:
+                self._send_json({"errors": ["not found"]}, 404)
+                return
+            parser = match.group(1)
+            upload = self._read_upload()
+            if upload is None:
+                return
+            data, filename, fields = upload
+            parser = parser or fields.get("parser") or None
             # validate the group BEFORE running — an over-broad
             # `except KeyError` around kg.run would misreport internal
             # KeyErrors as client errors (code-review finding)
@@ -164,5 +278,30 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                 self._send_json({"errors": [f"extraction failed: {exc}"]}, 500)
                 return
             self._send_json(report)
+
+        def _run_parsers(self, parsers_path: str) -> None:
+            """POST /run_parsers/<p1>/<p2>/... — same input through each
+            named group (reference server.py:63-97): response maps each
+            parser name to its report, plus the reference's deprecation
+            warning under "errors"."""
+            upload = self._read_upload()
+            if upload is None:
+                return
+            data, filename, _ = upload
+            output: dict = {"errors": [_RUN_PARSERS_DEP_WARNING]}
+            for parser in parsers_path.split("/"):
+                if not parser:
+                    continue  # reference skips empty segments, :90-91
+                if parser not in kg.parser_groups():
+                    output[parser] = {
+                        "errors": [f"unknown parser group: {parser}"]}
+                    continue
+                try:
+                    output[parser] = kg.run(
+                        data, filename or "upload.bin", parser)
+                except Exception as exc:
+                    output[parser] = {
+                        "errors": [f"extraction failed: {exc}"]}
+            self._send_json(output)
 
     return ThreadingHTTPServer((host, port), Handler)

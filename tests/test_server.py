@@ -128,6 +128,86 @@ def test_not_found(http_server):
     assert status == 404
 
 
+def test_descriptions(http_server):
+    """GET /descriptions (reference server.py:134-146): bare JSON array
+    of [name, author, description] triples."""
+    status, listing = _get(http_server + "/descriptions")
+    assert status == 200
+    assert all(len(entry) == 3 for entry in listing)
+    assert ["Foo", "kgmwcp", "Foo"] in listing
+    assert ["VBE", "kgmwcp", "Encoded VBScript"] in listing
+
+
+def test_schema_json(http_server):
+    """GET /schema.json (reference server.py:149-154) == the CLI
+    --schema document."""
+    from kgmwcp.schema import report_json_schema
+
+    status, schema = _get(http_server + "/schema.json")
+    assert status == 200
+    assert schema == report_json_schema()
+
+
+def test_logs_endpoint(http_server):
+    """GET /logs: reference-parity stub strings (server.py:157-173)."""
+    status, body = _get(http_server + "/logs")
+    assert status == 200
+    assert body == {"errors": ["Logs endpoint is no longer supported."]}
+
+
+def test_upload_page(http_server):
+    status_html = urllib.request.urlopen(http_server + "/upload")
+    html = status_html.read().decode()
+    assert status_html.status == 200
+    assert 'enctype="multipart/form-data"' in html
+    assert '<option value="Quarantined">' in html
+
+
+def test_run_parsers_multi(http_server):
+    """POST /run_parsers/<p1>/<p2> (reference server.py:63-97): one
+    report per named group plus the deprecation-warning errors entry;
+    unknown groups get a per-parser errors document (documented
+    deviation from the reference's empty report)."""
+    payload = (fixtures.FOO_TEXT + "\n# variant 9\n").encode()
+    body, ctype = _multipart(payload, "multi.txt")
+    status, out = _post(http_server + "/run_parsers/foo/PDF/NoSuchGroup",
+                        body, ctype)
+    assert status == 200
+    assert out["errors"] == ["Running multiple parsers in a single request "
+                             "will be changed future version."]
+    assert out["foo"]["parser"] == "Foo"
+    assert out["PDF"]["input_file"]["sha256"] == \
+        hashlib.sha256(payload).hexdigest()
+    assert out["NoSuchGroup"] == {
+        "errors": ["unknown parser group: NoSuchGroup"]}
+
+
+def test_run_parsers_no_data(http_server):
+    body, ctype = _multipart(b"", "empty.txt")
+    status, err = _post(http_server + "/run_parsers/foo", body, ctype)
+    assert status == 400
+    assert err["errors"] == ["No input file provided"]
+
+
+def test_body_too_large(spark):
+    """Content-Length beyond max_body -> 413 before the body is read
+    (one oversized upload must not exhaust driver memory)."""
+    from kgmwcp.server import make_server
+
+    httpd = make_server(spark, port=0, max_body=128)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    host, port = httpd.server_address[:2]
+    try:
+        status, err = _post(f"http://{host}:{port}/run_parser",
+                            b"x" * 1024, "application/octet-stream")
+        assert status == 413
+        assert "request body too large" in err["errors"][0]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_stdin_ingest_cli(spark, tmp_path, monkeypatch, capsys):
     """S3: `--input -` reads one raw sample from stdin, runs the pipeline,
     and prints the report inline (reference `mwcp parse <parser> -`)."""
