@@ -76,6 +76,12 @@ EXTENDED_OPS = [
     "sketch_distinct_kmv",
     "text_tfidf_topk",
     "text_refang_iocs",
+    # round-5 ops
+    "text_gopher_quality",
+    "corpus_ngram_counts",
+    "text_entropy",
+    "tpch_q5",
+    "kg_components_pipeline",
 ]
 
 

@@ -372,7 +372,21 @@ def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    # Fixpoint detector: labels only ever DECREASE (min is monotone), so
+    # the checksum changes iff some label changed.  Numeric ids sum
+    # exactly; string ids (the KG's node keys) sum their xxhash64 —
+    # Spark-side only, never oracle-facing (CLAUDE.md: Spark hashes are
+    # not DuckDB-portable), with a ~2^-64 collision-sum risk of stopping
+    # one round early (a hash-sum that coincidentally matches across a
+    # real change) — negligible against the cost of an exact per-round
+    # changed-count join.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(labels.schema["cluster_id"].dataType, NumericType):
+        chk = F.col("cluster_id").cast("decimal(38,0)")
+    else:
+        chk = F.xxhash64("cluster_id").cast("decimal(38,0)")
+    label_sum = F.sum(chk).alias("s")
     prev = labels.agg(label_sum).collect()[0]["s"]
     converged = False
     iterations = 0

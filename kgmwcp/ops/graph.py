@@ -491,7 +491,57 @@ UNION ALL SELECT node, hop FROM hop2
 """.format(mentions=_SQL_MENTIONS_CTE)
 
 
+# -- connected components over the ACTUAL knowledge graph ---------------------
+# The second flagship composition (kg_pagerank_pipeline's sibling): the
+# real extract+link pipeline's (subj, pred, obj) triples as a bipartite
+# sample↔entity graph, clustered into connected components by the SAME
+# adaptive pointer-jumping min-label propagation the dedup tier uses
+# (ops/dedup.propagate_min_labels — shuffle-per-round, O(log diameter)
+# via jumps; components here = "infrastructure clusters": samples
+# transitively linked through shared C2s/mutexes/keys, the analyst
+# campaign-grouping query).  The oracle is the recursive-CTE closure
+# over the engine-independent golden triples parquet.
+
+def q_kg_components_pipeline(spark, sf_dir):
+    from kgmwcp import fixtures
+    from kgmwcp.ops.dedup import propagate_min_labels
+
+    triples = fixtures.golden_pipeline_tables(spark)["triples"]
+    fwd = triples.select(
+        F.concat(F.lit("s:"), "subj").alias("doc_a"),
+        F.concat(F.lit("e:"), "pred", F.lit("//"), "obj").alias("doc_b"),
+    ).dropDuplicates()
+    nodes = (
+        fwd.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(fwd.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = propagate_min_labels(nodes, fwd)
+    return labels.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component"))
+
+
+def _sql_kg_components_pipeline() -> str:
+    # lazy path resolution, same reason as _sql_kg_pagerank_pipeline
+    g = os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(_REPO_ROOT, "golden")
+    return f"""
+WITH RECURSIVE fwd AS (
+  SELECT DISTINCT 's:' || subj AS src, 'e:' || pred || '//' || obj AS dst
+  FROM read_parquet('{g}/pipeline_triples.parquet')
+),
+edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(root) AS component FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
+    "kg_components_pipeline": q_kg_components_pipeline,
     "kg_nodes_upsert": q_kg_nodes_upsert,
     "kg_khop_neighborhood": q_kg_khop_neighborhood,
     "kg_pagerank": q_kg_pagerank,
@@ -501,6 +551,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # callable: resolved when oracle_sql() is built
+    "kg_components_pipeline": _sql_kg_components_pipeline,
     "kg_nodes_upsert": SQL_KG_NODES_UPSERT,
     "kg_khop_neighborhood": SQL_KG_KHOP_NEIGHBORHOOD,
     "kg_pagerank": SQL_KG_PAGERANK,

@@ -838,6 +838,71 @@ LIMIT 10
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """Q5 local-supplier volume: the multi-dimension join chain.  Plan
+    shape at 100 TB: supplier⋈nation⋈region collapse into ONE broadcast
+    dim (region filter applied before the broadcast — thousands of rows,
+    never the fact table); customer is too big to broadcast at scale, so
+    orders⋈customer shuffles on custkey and lineitem⋈orders on orderkey —
+    exactly two fact shuffles plus a low-cardinality nation aggregate.
+    The c_nationkey = s_nationkey "local supplier" predicate rides the
+    broadcast join condition.  Money in exact cents like Q1/Q3 (cent
+    sums are order-independent; naive double sums diverge past 4 dp)."""
+    cutlo = F.lit("1996-01-01").cast("timestamp")
+    cuthi = F.lit("1997-01-01").cast("timestamp")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi))
+    li = _t(spark, sf_dir, "lineitem")
+    sup_dim = (
+        supplier
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust_orders = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(cust_orders, li.l_orderkey == cust_orders.o_orderkey)
+        .join(
+            F.broadcast(sup_dim),
+            (li.l_suppkey == sup_dim.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    agg = joined.groupBy("n_name").agg(F.sum(_cents(disc)).alias("revenue_c"))
+    return agg.orderBy(F.col("revenue_c").desc(), "n_name").select(
+        "n_name", F.round(F.col("revenue_c") / 100.0, 2).alias("revenue"))
+
+
+SQL_TPCH_Q5 = """
+WITH agg AS (
+  SELECT n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY n_name
+)
+SELECT n_name, round(revenue_c / 100.0, 2) AS revenue
+FROM agg ORDER BY revenue_c DESC, n_name
+"""
+
+
 def q_tpch_q6(spark, sf_dir):
     """Q6 forecast-revenue: the pure scan→filter→sum shape whose entire
     predicate set pushes down to the parquet scan (asserted in
@@ -875,6 +940,7 @@ QUERIES = {
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
@@ -905,6 +971,7 @@ ORACLES = {
     "events_anomaly_zscore": SQL_EVENTS_ANOMALY_ZSCORE,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,

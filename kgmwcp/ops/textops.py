@@ -960,7 +960,228 @@ SELECT doc_id, rnk, tok, tf, df, score AS tfidf FROM (
 """.format(k=_TFIDF_TOPK)
 
 
+# -- Gopher-style quality rules -----------------------------------------------
+# The rule-based document gate from the Gopher/MassiveText recipe (word
+# count band, mean word length band, symbol-to-word ratio, bullet/
+# ellipsis line fractions, fraction of words with an alphabetic char) —
+# the standard pre-training filter that composes in FRONT of the
+# dedup/curation tier.  Entirely mapper-only: every signal is a
+# regexp-count/length Column, so the op is a zero-shuffle scan that
+# pipelines into whatever runs next (asserted in test_plans).  All
+# ratios are rounded to 4 dp and the KEEP gates compare the ROUNDED
+# values — a 1-ulp engine divergence on a raw ratio at a threshold
+# boundary must not flip the verdict between the twins.
+
+_GQ_WS_RX = r"[ \t\n\x0B\f\r]+"
+_GQ_BULLET_RX = r"\n[-*•] "
+_GQ_ELLIPSIS_LINE_RX = r"\.\.\.\n"
+_GQ_ALPHA_WORD_RX = r"(?:^|\s)[^ \t\n\x0B\f\r]*[A-Za-z]"
+
+
+def q_text_gopher_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+
+    def rx_count(col, pattern):
+        return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+    n_words = F.size(_ws_tokens())
+    no_ws_len = F.length(
+        F.regexp_replace("text", F.lit(_GQ_WS_RX), F.lit("")))
+    n_lines = F.size(F.split(F.col("text"), "\n", -1))
+    bullet_n = rx_count(F.concat(F.lit("\n"), F.col("text")), _GQ_BULLET_RX)
+    ellipsis_line_n = rx_count(
+        F.concat(F.col("text"), F.lit("\n")), _GQ_ELLIPSIS_LINE_RX)
+    symbol_n = rx_count(F.col("text"), r"#") + rx_count(F.col("text"), r"\.\.\.")
+    alpha_n = rx_count(F.col("text"), _GQ_ALPHA_WORD_RX)
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
+
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        frac(no_ws_len, n_words).alias("mean_word_len"),
+        frac(bullet_n, n_lines).alias("bullet_frac"),
+        frac(ellipsis_line_n, n_lines).alias("ellipsis_frac"),
+        frac(symbol_n, n_words).alias("symbol_ratio"),
+        frac(alpha_n, n_words).alias("alpha_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8),
+    )
+
+
+SQL_TEXT_GOPHER_QUALITY = r"""
+WITH sig AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                         x -> x <> '')) AS n_words,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))
+           AS no_ws_len,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(regexp_extract_all(chr(10) || text, '\n[-*•] ')) AS bullet_n,
+         len(regexp_extract_all(text || chr(10), '\.\.\.\n'))
+           AS ellipsis_line_n,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS symbol_n,
+         len(regexp_extract_all(text, '(?:^|\s)[^ \t\n\x0B\f\r]*[A-Za-z]'))
+           AS alpha_n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN round(no_ws_len / CAST(n_words AS DOUBLE), 4)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_lines > 0 THEN round(bullet_n / CAST(n_lines AS DOUBLE), 4)
+              ELSE 0.0 END AS bullet_frac,
+         CASE WHEN n_lines > 0
+              THEN round(ellipsis_line_n / CAST(n_lines AS DOUBLE), 4)
+              ELSE 0.0 END AS ellipsis_frac,
+         CASE WHEN n_words > 0 THEN round(symbol_n / CAST(n_words AS DOUBLE), 4)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_words > 0 THEN round(alpha_n / CAST(n_words AS DOUBLE), 4)
+              ELSE 0.0 END AS alpha_frac
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, bullet_frac, ellipsis_frac,
+       symbol_ratio, alpha_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio < 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8) AS keep
+FROM fr
+"""
+
+
+# -- corpus n-gram counts -----------------------------------------------------
+# Per-language top-K word trigrams — the n-gram LM / contamination-
+# analysis primitive.  Shingles via posexplode + window-lead (the
+# measured ~20x win over interpreted HOF lambdas, CLAUDE.md); counts are
+# a (lang, ngram) groupBy whose hot keys are GROUP keys (map-side
+# partial agg — not a join fanout); the per-lang top-K uses the same
+# two-level trick as sketch_distinct_kmv so no single task ever sorts a
+# language's full trigram vocabulary (the md5-bucket level keeps K per
+# 256 buckets; survivors provably contain the global top-K, so the
+# single-window oracle form is identical).
+
+_NGRAM_TOPK = 10
+
+
+def q_corpus_ngram_counts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", "doc_id", F.posexplode(_ws_tokens()).alias("pos", "raw")
+    ).select("lang", "doc_id", "pos", F.lower("raw").alias("tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        # concat_ws silently SKIPS nulls (a trailing bigram would sneak
+        # in) — filter the window edge explicitly
+        .filter(F.col("t2").isNotNull())
+        .select("lang", F.concat_ws(" ", "tok", "t1", "t2").alias("ngram"))
+    )
+    counts = tri.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    w_local = Window.partitionBy(
+        "lang", F.substring(F.md5("ngram"), 1, 2)
+    ).orderBy(F.col("n").desc(), "ngram")
+    survivors = (
+        counts.withColumn("r1", F.row_number().over(w_local))
+        .filter(F.col("r1") <= _NGRAM_TOPK)
+        .drop("r1")
+    )
+    w_global = Window.partitionBy("lang").orderBy(F.col("n").desc(), "ngram")
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= _NGRAM_TOPK)
+        .select("lang", "rnk", "ngram", "n")
+    )
+
+
+SQL_CORPUS_NGRAM_COUNTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+tri AS (
+  -- scalar range() (a LIST) + list_transform: DuckDB's range TABLE
+  -- function cannot lateral-join on a column
+  SELECT lang,
+         unnest(list_transform(range(1, len(arr) - 1),
+                i -> lower(arr[i]) || ' ' || lower(arr[i + 1]) || ' '
+                     || lower(arr[i + 2]))) AS ngram
+  FROM toks
+  WHERE len(arr) >= 3
+),
+counts AS (SELECT lang, ngram, count(*) AS n FROM tri GROUP BY lang, ngram)
+SELECT lang, rnk, ngram, n FROM (
+  SELECT lang, ngram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rnk
+  FROM counts
+) WHERE rnk <= {k}
+""".format(k=_NGRAM_TOPK)
+
+
+# -- character-distribution entropy -------------------------------------------
+# Per-doc Shannon entropy of the character distribution in bits — the
+# classic gibberish/encoded-blob quality signal (near-random base64
+# sits ~6 bits, English prose ~4.1).  Shape: one explode to chars, a
+# (doc, char) count whose map-side partial agg collapses each partition
+# to <= |alphabet| rows per doc, then a per-doc rollup.  Identical
+# association in both engines: H = log2(n) - sum(c*log2 c)/n, rounded
+# 4 dp (summation-order fp noise stays far below the rounding
+# granularity, same convention as the PageRank oracles).
+
+def q_text_entropy(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"[\s\S]"), F.lit(0))
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        F.round(F.log2("n") - F.col("clog") / F.col("n"), 4)
+        .alias("entropy_bits"),
+    )
+
+
+SQL_TEXT_ENTROPY = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+ent AS (
+  SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clog
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars, round(log2(n) - clog / n, 4) AS entropy_bits
+FROM ent
+"""
+
+
 QUERIES = {
+    "text_gopher_quality": q_text_gopher_quality,
+    "corpus_ngram_counts": q_corpus_ngram_counts,
+    "text_entropy": q_text_entropy,
     "text_token_count": q_text_token_count,
     "text_chunking": q_text_chunking,
     "corpus_mixture_weights": q_corpus_mixture_weights,
@@ -983,6 +1204,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_gopher_quality": SQL_TEXT_GOPHER_QUALITY,
+    "corpus_ngram_counts": SQL_CORPUS_NGRAM_COUNTS,
+    "text_entropy": SQL_TEXT_ENTROPY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_chunking": SQL_TEXT_CHUNKING,
     "corpus_mixture_weights": SQL_CORPUS_MIXTURE_WEIGHTS,

@@ -129,7 +129,7 @@ def test_mapper_only_ops_have_zero_shuffle(spark):
     from kgmwcp.ops import textops
 
     for fn in (textops.q_text_pii_scrub, textops.q_corpus_sample_stratified,
-               textops.q_text_chunking):
+               textops.q_text_chunking, textops.q_text_gopher_quality):
         plan = _plan(fn(spark, SF))
         assert "Exchange hashpartitioning" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan, fn.__name__
@@ -216,6 +216,19 @@ def test_tpch_q3_plan_shape(spark):
     plan = _plan(q_tpch_q3(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_plan_shape(spark):
+    """Q5's supplier⋈nation⋈region dim chain must collapse into
+    broadcast joins (never a shuffle of the fact side on a dim key) and
+    the multi-equality local-supplier predicate must not degrade to a
+    cartesian."""
+    from kgmwcp.ops.relational import q_tpch_q5
+
+    plan = _plan(q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_tpch_q6_predicates_push_to_scan(spark):
