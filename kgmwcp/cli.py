@@ -175,20 +175,14 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
         # per parser; here grouped by routing group, JSON only (tabulate
         # is not in the container; the text renderers live in render.py)
         from kgmwcp.engine.parsers import RULE_GROUPS
-        from kgmwcp.engine.registry import registered_sources
+        from kgmwcp.engine.registry import rule_source
 
-        ext_source = {
-            group: src
-            for src, groups in registered_sources().items()
-            for group in groups
-        }
         listing = [
             {
                 "group": group,
                 "rules": [
                     {"name": rule.name(), "description": rule.DESCRIPTION,
-                     "source": ("kgmwcp" if rule.__module__.startswith("kgmwcp.")
-                                else ext_source.get(group, "external"))}
+                     "source": rule_source(rule, group)}
                     for rule in rules
                 ],
             }

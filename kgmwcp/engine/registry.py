@@ -66,29 +66,39 @@ def register_rule_directory(directory: str,
     # _create_package (mwcp/registry.py:231-236) so two sources may both
     # ship a module called e.g. rules.py
     ns = hashlib.md5(real.encode("utf-8")).hexdigest()[:12]
-    groups: List[str] = []
-    for fname in sorted(os.listdir(real)):
-        if not fname.endswith(".py") or fname.startswith("_"):
-            continue
-        stem = fname[:-3]
-        mod_name = f"kgmwcp_rules_{ns}_{stem}"
-        spec = importlib.util.spec_from_file_location(
-            mod_name, os.path.join(real, fname))
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[mod_name] = mod
-        try:
+    # TWO-PHASE: import every module first, then mutate the registries.
+    # A mid-directory import failure (transient IO, syntax error in one
+    # module) must leave RULE_GROUPS untouched — otherwise a same-process
+    # retry (Spark re-running a failed task in a reused python worker)
+    # re-imports the earlier modules as fresh class objects and appends
+    # duplicate rules (review finding).
+    staged: List[Tuple[str, List[type]]] = []
+    loaded_mods: List[str] = []
+    try:
+        for fname in sorted(os.listdir(real)):
+            if not fname.endswith(".py") or fname.startswith("_"):
+                continue
+            stem = fname[:-3]
+            mod_name = f"kgmwcp_rules_{ns}_{stem}"
+            spec = importlib.util.spec_from_file_location(
+                mod_name, os.path.join(real, fname))
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = mod
+            loaded_mods.append(mod_name)
             spec.loader.exec_module(mod)
-        except Exception:
-            del sys.modules[mod_name]
-            raise
-        rules = [
-            v for v in vars(mod).values()
-            if isinstance(v, type) and issubclass(v, Rule) and v is not Rule
-            and v.__module__ == mod_name
-        ]
-        if not rules:
-            continue
-        group = getattr(mod, "GROUP", None) or stem
+            rules = [
+                v for v in vars(mod).values()
+                if isinstance(v, type) and issubclass(v, Rule)
+                and v is not Rule and v.__module__ == mod_name
+            ]
+            if rules:
+                staged.append((getattr(mod, "GROUP", None) or stem, rules))
+    except Exception:
+        for mod_name in loaded_mods:
+            sys.modules.pop(mod_name, None)
+        raise
+    groups: List[str] = []
+    for group, rules in staged:
         if group in RULE_GROUPS:
             known = set(RULE_GROUPS[group])
             RULE_GROUPS[group] = RULE_GROUPS[group] + [
@@ -113,3 +123,18 @@ def ensure_registered(rule_dirs: Iterable[str]) -> None:
 def registered_sources() -> Dict[str, List[str]]:
     """source name -> contributed groups (for --list / diagnostics)."""
     return {src: list(groups) for src, groups in _LOADED.values()}
+
+
+def rule_source(rule: type, group: str) -> str:
+    """Source attribution for a rule: 'kgmwcp' for built-ins (real
+    ``kgmwcp.*`` modules — external modules are namespaced
+    ``kgmwcp_rules_<hash>_*`` and must NOT match), else the registered
+    source that contributed the group.  The ONE definition shared by
+    `--list` and the server's /descriptions (review finding: two
+    hand-copied versions would drift on the namespacing convention)."""
+    if rule.__module__.startswith("kgmwcp."):
+        return "kgmwcp"
+    for src, groups in _LOADED.values():
+        if group in groups:
+            return src
+    return "external"

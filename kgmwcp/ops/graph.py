@@ -88,6 +88,7 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
+    intermediates = []
     for i in range(iters):
         contrib = (
             ranks.join(edges_norm, ranks.node == edges_norm.src)
@@ -109,15 +110,29 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
         if (i + 1) % 4 == 0:
             # truncate the join-per-round lineage like dedup_cluster does
             ranks = ranks.localCheckpoint(eager=False)
+            intermediates.append(ranks)
     # materialize the final ranks (eager checkpoint also truncates the
-    # remaining lineage), then release the normalized-edge cache — the
-    # returned frame no longer references it, so callers can't leak it.
-    # materialize=False keeps the full lazy plan (edges_norm stays
-    # persisted, caller owns its lifecycle) — used by plan audits.
+    # remaining lineage), then release everything the returned frame no
+    # longer references: the normalized-edge cache AND the in-loop lazy
+    # checkpoints (materialized as part of the final evaluation —
+    # localCheckpoint blocks live OUTSIDE the cache manager, so without
+    # the LogicalRDD free they'd accumulate per invocation in a
+    # long-lived session; review finding).  The final checkpoint's own
+    # blocks stay until the caller is done — `ranks.kgmwcp_release()`
+    # frees them.  materialize=False keeps the full lazy plan for plan
+    # audits; the persisted edges_norm rides along as
+    # `ranks.kgmwcp_edges_norm` so that caller can unpersist it.
     ranks = ranks.select("node", "rank", "n_nodes")
     if materialize:
+        from kgmwcp.ops.dedup import _free_labels
+
         ranks = ranks.localCheckpoint()
         edges_norm.unpersist()
+        for df in intermediates:
+            _free_labels(df)
+        ranks.kgmwcp_release = (lambda r=ranks: _free_labels(r))
+    else:
+        ranks.kgmwcp_edges_norm = edges_norm
     return ranks
 
 

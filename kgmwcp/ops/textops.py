@@ -890,12 +890,15 @@ FROM (
 #                              same as the ngram shingle-table finding)
 # and the r4 bench's 13.7 s reproduces only as FIRST-query-in-session
 # warmup (cold penalty follows run order, not variant — 5.5-7.4 s for
-# whichever variant runs first).  At runtime AQE converts this join to
-# BroadcastHashJoin from df's ACTUAL shuffle size (pinned in
-# test_plans.test_tfidf_join_broadcasts_at_runtime) — the size-gated
-# broadcast with zero extra passes and no driver-side count; a 100 TB
-# vocab too big to broadcast falls back to SMJ where AQE skew-join
-# splits the Zipf-head partitions (both flags on in session.py).
+# whichever variant runs first).  The skewed shuffle never executes:
+# Catalyst's static size estimate already plans the df aggregate as a
+# broadcast, and AQE's runtime re-plan converts the remaining join from
+# ACTUAL shuffle sizes (final adaptive plan: 2 BroadcastHashJoin, 0
+# SortMergeJoin — pinned on the finalized plan in
+# test_plans.test_tfidf_join_broadcasts_at_runtime).  Zero extra passes,
+# no driver-side count; a 100 TB vocab past the broadcast threshold
+# falls back to SMJ where AQE skew-join splits the Zipf-head partitions
+# (both flags on in session.py).
 
 _TFIDF_TOPK = 3
 
@@ -975,7 +978,11 @@ SELECT doc_id, rnk, tok, tf, df, score AS tfidf FROM (
 _GQ_WS_RX = r"[ \t\n\x0B\f\r]+"
 _GQ_BULLET_RX = r"\n[-*•] "
 _GQ_ELLIPSIS_LINE_RX = r"\.\.\.\n"
-_GQ_ALPHA_WORD_RX = r"(?:^|\s)[^ \t\n\x0B\f\r]*[A-Za-z]"
+# word-start anchor spelled as the explicit class, NOT \s: Java's \s
+# includes \x0B, RE2's does not — the one divergence this file's header
+# rule exists to prevent (review finding: a \x0B before an alpha word
+# would flip alpha_frac between the twins)
+_GQ_ALPHA_WORD_RX = r"(?:^|[ \t\n\x0B\f\r])[^ \t\n\x0B\f\r]*[A-Za-z]"
 
 
 def q_text_gopher_quality(spark, sf_dir):

@@ -104,20 +104,13 @@ class KgServer:
         arrays).  Author is the rule's source: 'kgmwcp' for built-ins,
         the registered directory for --parser-dir rules."""
         from kgmwcp.engine.parsers import RULE_GROUPS
-        from kgmwcp.engine.registry import registered_sources
+        from kgmwcp.engine.registry import rule_source
 
-        ext_source = {
-            group: src
-            for src, groups in registered_sources().items()
-            for group in groups
-        }
-        out = []
-        for group in sorted(RULE_GROUPS):
-            for rule in RULE_GROUPS[group]:
-                author = ("kgmwcp" if rule.__module__.startswith("kgmwcp.")
-                          else ext_source.get(group, "external"))
-                out.append([rule.name(), author, rule.DESCRIPTION])
-        return out
+        return [
+            [rule.name(), rule_source(rule, group), rule.DESCRIPTION]
+            for group in sorted(RULE_GROUPS)
+            for rule in RULE_GROUPS[group]
+        ]
 
     def run(self, data: bytes, name: str, parser: Optional[str] = None) -> dict:
         """One uploaded blob -> its report document (the same report_json

@@ -42,9 +42,18 @@ spark.stop()
 
 
 def run_child(repo_dir: str) -> dict:
+    # PYTHONPATH + cwd must BOTH point at the checkout under test: the
+    # driver-side sys.path.insert alone does not reach Spark's python
+    # WORKERS (they resolve kgmwcp from their own sys.path — env + cwd —
+    # so without this the hot extract path runs the same code in both
+    # arms and the A/B measures nothing; review finding on the first
+    # committed run of this script)
+    import os
+
+    env = dict(os.environ, PYTHONPATH=repo_dir)
     out = subprocess.run(
         [sys.executable, "-c", _CHILD, repo_dir, str(REPLICAS)],
-        capture_output=True, text=True, timeout=600)
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo_dir)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 

@@ -194,16 +194,18 @@ def test_pagerank_no_per_node_broadcast(spark):
 
 
 def test_tfidf_join_broadcasts_at_runtime(spark):
-    """AQE must convert the tf⋈df token join to a broadcast from df's
-    actual shuffle size (the size-gated broadcast that neutralizes the
-    Zipf-head skew without an extra pass) — asserted on the FINAL
-    adaptive plan after execution, since the static plan only shows the
-    shuffle shape."""
+    """The Zipf-head token join must never execute as a skewed shuffle:
+    Catalyst's static size estimate broadcasts the df aggregate, and
+    AQE's runtime re-plan converts what remains from ACTUAL shuffle
+    sizes.  Asserted on df's OWN finalized adaptive plan — a .count()
+    runs a different QueryExecution and would leave this one
+    isFinalPlan=false (review finding), so collect() the frame itself."""
     from kgmwcp.ops import textops
 
     df = textops.q_text_tfidf_topk(spark, SF)
-    df.count()  # materialize so AQE finalizes the plan
+    df.collect()  # finalizes THIS dataset's AdaptiveSparkPlan
     plan = _plan(df)
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

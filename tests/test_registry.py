@@ -45,7 +45,13 @@ def toy_dir(tmp_path):
     (d / "_helper.py").write_text("IGNORED = True\n")  # _-prefixed: skipped
     (d / "notes.txt").write_text("not python\n")
     yield str(d)
-    # undo the registration so the shared-session test suite stays clean
+    # undo the DRIVER-side registration so the shared-session test suite
+    # stays clean.  Spark's reused python WORKERS keep ToyVendor
+    # registered (and first in their auto order) for the session — out of
+    # teardown's reach by design (per-process idempotent registration).
+    # Safe here because ToyConfig.identify is gated on the b"TOYCFG"
+    # magic prefix, which no other fixture carries; keep any future toy
+    # rule equally prefix-gated.
     if "ToyVendor" in RULE_GROUPS:
         del RULE_GROUPS["ToyVendor"]
     if "ToyVendor" in DEFAULT_GROUP_ORDER:
