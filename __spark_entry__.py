@@ -116,10 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _golden_dir() -> str:
-    # call-time + env-overridable for the same relocation reason as
-    # graph.py's pipeline oracle
-    return os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "golden")
+    # the shared call-time resolver (relocation-safe, env-overridable)
+    from kgmwcp.fixtures import golden_dir
+
+    return golden_dir()
 
 
 def oracle_sql() -> dict[str, str]:

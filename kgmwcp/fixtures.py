@@ -370,6 +370,19 @@ GOLDEN_HOT_ROWS = 16
 GOLDEN_PIPELINE_CONFIG = dict(n_buckets=16, knowledge_base={"secret": "hello"})
 
 
+def golden_dir() -> str:
+    """Location of the committed golden parquet — the ONE resolver
+    (simplify pass: graph.py's two pipeline oracles and __spark_entry__
+    each hand-rolled this).  Resolved at CALL time, not import: a
+    --py-files zip or relocated checkout changes ``__file__``, and a
+    baked path silently produces an unreadable oracle (round-4 ADVICE).
+    ``KGMWCP_GOLDEN_DIR`` overrides for fully detached deployments."""
+    import os
+
+    return os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
+
+
 def golden_corpus(spark):
     """Fixture corpus at the golden-parquet scale."""
     return corpus_df(spark, replication=GOLDEN_REPLICATION,

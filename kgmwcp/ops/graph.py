@@ -22,8 +22,6 @@ pre-normalized ``frac`` form so per-edge fp rounding is identical).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["QUERIES", "ORACLES", "pagerank"]
@@ -248,10 +246,6 @@ edges AS (
 # hash-pinned by the pipeline_fixture_triples row) — so this row proves
 # extraction AND graph analytics compose end-to-end.
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
 def q_kg_pagerank_pipeline(spark, sf_dir):
     from kgmwcp import fixtures
 
@@ -269,11 +263,11 @@ def q_kg_pagerank_pipeline(spark, sf_dir):
 
 
 def _sql_kg_pagerank_pipeline() -> str:
-    # resolved at oracle_sql() CALL time, not module import: a --py-files
-    # zip or relocated checkout changes __file__, and baking the path at
-    # import would silently produce an unreadable oracle (round-4 ADVICE);
-    # KGMWCP_GOLDEN_DIR overrides for fully detached deployments.
-    g = os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(_REPO_ROOT, "golden")
+    # golden_dir() resolves at oracle_sql() CALL time (relocation-safe,
+    # env-overridable — see fixtures.golden_dir)
+    from kgmwcp.fixtures import golden_dir
+
+    g = golden_dir()
     return _pr_unrolled(f"""
 WITH triples AS (
   SELECT subj, pred, obj FROM read_parquet('{g}/pipeline_triples.parquet')
@@ -537,8 +531,9 @@ def q_kg_components_pipeline(spark, sf_dir):
 
 
 def _sql_kg_components_pipeline() -> str:
-    # lazy path resolution, same reason as _sql_kg_pagerank_pipeline
-    g = os.environ.get("KGMWCP_GOLDEN_DIR") or os.path.join(_REPO_ROOT, "golden")
+    from kgmwcp.fixtures import golden_dir
+
+    g = golden_dir()
     return f"""
 WITH RECURSIVE fwd AS (
   SELECT DISTINCT 's:' || subj AS src, 'e:' || pred || '//' || obj AS dst

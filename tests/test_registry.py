@@ -4,6 +4,7 @@ mwcp/cli.py:108-113) carried through registry -> routing -> the full
 Spark extract pipeline."""
 
 import json
+import os
 
 import pytest
 
@@ -56,7 +57,7 @@ def toy_dir(tmp_path):
         del RULE_GROUPS["ToyVendor"]
     if "ToyVendor" in DEFAULT_GROUP_ORDER:
         DEFAULT_GROUP_ORDER.remove("ToyVendor")
-    registry._LOADED.pop(__import__("os").path.realpath(str(d)), None)
+    registry._LOADED.pop(os.path.realpath(str(d)), None)
 
 
 def test_register_directory_updates_registry_and_order(toy_dir):
