@@ -82,6 +82,8 @@ EXTENDED_OPS = [
     "text_entropy",
     "tpch_q5",
     "kg_components_pipeline",
+    "multimodal_patchify",
+    "kg_degree_stats",
 ]
 
 

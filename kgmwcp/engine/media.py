@@ -157,6 +157,37 @@ def resize_bmp_nearest(payload: bytes, out_width: int = None,
             "checksum": total}
 
 
+def bmp_patchify(payload: bytes, patch: int = 8) -> Optional[list]:
+    """ViT-style patch extraction over the decoded pixel array: the
+    image is cut into non-overlapping ``patch``×``patch`` tiles (FULL
+    tiles only — ragged right/bottom margins are dropped, the standard
+    crop-to-multiple prep), each tile summarized by its pixel-byte sum
+    in STORED row order (stride padding respected, like
+    resize_bmp_nearest).  Returns ``[(patch_row, patch_col, checksum)]``
+    — empty when the image is smaller than one patch.  Bounds-guarded
+    like every other untrusted-format reader here: a truncated pixel
+    array returns None instead of raising."""
+    info = parse_bmp(payload)
+    if info is None:
+        return None
+    width, height, channels = info["width"], info["height"], info["channels"]
+    if width <= 0 or height <= 0 or channels not in (3, 4) or patch <= 0:
+        return None
+    stride = _bmp_row_stride(width, channels)
+    pixels = payload[_BMP_HEADER_SIZE:]
+    if len(pixels) < stride * height:
+        return None
+    out = []
+    for py in range(height // patch):
+        for px in range(width // patch):
+            total = 0
+            for dy in range(patch):
+                base = (py * patch + dy) * stride + px * patch * channels
+                total += sum(pixels[base: base + patch * channels])
+            out.append((py, px, total))
+    return out
+
+
 def wav_features(payload: bytes) -> Optional[dict]:
     """Real feature extraction from decoded 16-bit PCM samples: frame
     count, sum of absolute amplitudes, peak amplitude — all integer

@@ -550,7 +550,53 @@ SELECT node, min(root) AS component FROM reach GROUP BY node
 """
 
 
+# -- degree distribution over the ACTUAL knowledge graph ----------------------
+# The KG health-check every graph pipeline ships: per predicate, a
+# log2-bucketed histogram of entity in-degree (how many samples mention
+# each entity) over the real pipeline's triples — the skew diagnostic
+# that tells an operator WHERE hot entities live before they hit a join.
+# Buckets via the BINARY-STRING length of the degree (conv/printf),
+# never floor(log2(x)): Spark computes log2 as log(x)/log(2), which can
+# land a power of two at 2.9999… and floor into the wrong bucket, while
+# the bit-length form is integer-exact in both engines.  Scale shape:
+# two cascaded groupBys, both map-side combined; the hot entity is a
+# GROUP key, not a join key.
+
+def q_kg_degree_stats(spark, sf_dir):
+    from kgmwcp import fixtures
+
+    triples = fixtures.golden_pipeline_tables(spark)["triples"]
+    deg = triples.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).alias("degree"))
+    bucket = (F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1)
+    return deg.groupBy(
+        "pred", bucket.cast("int").alias("degree_log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("degree").alias("n_mentions"),
+    )
+
+
+def _sql_kg_degree_stats() -> str:
+    from kgmwcp.fixtures import golden_dir
+
+    g = golden_dir()
+    return f"""
+WITH deg AS (
+  SELECT pred, obj, count(*) AS degree
+  FROM read_parquet('{g}/pipeline_triples.parquet')
+  GROUP BY pred, obj
+)
+SELECT pred,
+       CAST(length(printf('%b', degree)) - 1 AS INT) AS degree_log2_bucket,
+       count(*) AS n_entities,
+       sum(degree) AS n_mentions
+FROM deg GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "kg_degree_stats": q_kg_degree_stats,
     "kg_components_pipeline": q_kg_components_pipeline,
     "kg_nodes_upsert": q_kg_nodes_upsert,
     "kg_khop_neighborhood": q_kg_khop_neighborhood,
@@ -561,7 +607,8 @@ QUERIES = {
 }
 
 ORACLES = {
-    # callable: resolved when oracle_sql() is built
+    # callables: resolved when oracle_sql() is built
+    "kg_degree_stats": _sql_kg_degree_stats,
     "kg_components_pipeline": _sql_kg_components_pipeline,
     "kg_nodes_upsert": SQL_KG_NODES_UPSERT,
     "kg_khop_neighborhood": SQL_KG_KHOP_NEIGHBORHOOD,

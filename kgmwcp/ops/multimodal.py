@@ -351,7 +351,86 @@ FROM s
 """
 
 
+# -- ViT-style patch extraction -----------------------------------------------
+# The image→patch-sequence prep a vision-transformer training pipeline
+# runs per image: non-overlapping 8x8 tiles (full tiles only — the
+# ragged margins are cropped, the standard to-multiple crop), one output
+# ROW per patch with its pixel-byte checksum, in stored row order.
+# Same proof shape as resize/features: the mapper hands the decoder
+# ONLY bytes; the oracle recomputes every patch sum from the synthesis
+# closed form ((seed+i) % 256), so a hash match proves the actual tile
+# bytes were read and partitioned, not echoed.  Scale shape: mapper-only
+# per-image work emitting n_patches rows — composes directly into
+# corpus_pack_sequences downstream.
+
+_PATCH = 8
+
+_PATCHIFY_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("patch_row", IntegerType()),
+    StructField("patch_col", IntegerType()),
+    StructField("checksum", LongType()),
+])
+
+
+def q_multimodal_patchify(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    )
+
+    def mapper(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kgmwcp.engine import media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for py, px, cs in media.bmp_patchify(
+                        _synth_payload(d), patch=_PATCH) or []:
+                    rows.append({"doc_id": d, "patch_row": py,
+                                 "patch_col": px, "checksum": cs})
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "patch_row", "patch_col",
+                               "checksum"])
+            for col in ("patch_row", "patch_col"):
+                out[col] = out[col].astype("Int32")
+            yield out
+
+    return docs.mapInPandas(mapper, schema=_PATCHIFY_SCHEMA)
+
+
+SQL_MULTIMODAL_PATCHIFY = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 32 + 1) AS w,
+         (doc_id % 24 + 1) AS h,
+         (3 + (doc_id // 2) % 2) AS ch
+  FROM documents WHERE doc_id % 2 = 0
+), q AS (
+  SELECT doc_id, w, h, ch,
+         ((w * ch + 3) // 4 * 4) AS stride,
+         (w // {P}) AS npx, (h // {P}) AS npy
+  FROM p WHERE w >= {P} AND h >= {P}
+), sel AS (
+  SELECT doc_id,
+         unnest(flatten(list_transform(range(npy), py ->
+           list_transform(range(npx), px -> struct_pack(
+             py := py, px := px,
+             cs := list_aggregate(flatten(list_transform(range({P}), dy ->
+               list_transform(range({P} * ch), i ->
+                 (doc_id + (py * {P} + dy) * stride + px * {P} * ch + i)
+                   % 256))), 'sum')))))) AS u
+  FROM q
+)
+SELECT doc_id, CAST(u.py AS INT) AS patch_row, CAST(u.px AS INT) AS patch_col,
+       CAST(u.cs AS BIGINT) AS checksum
+FROM sel
+""".format(P=_PATCH)
+
+
 QUERIES = {
+    "multimodal_patchify": q_multimodal_patchify,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_real_meta": q_multimodal_real_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -360,6 +439,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_patchify": SQL_MULTIMODAL_PATCHIFY,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_real_meta": SQL_MULTIMODAL_REAL_META,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
