@@ -64,7 +64,12 @@ EXTENDED_OPS = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-    "kg_pagerank_pipeline",
+    # r6: bench surface split (VERDICT r5 #4) — kg_pagerank_pipeline
+    # re-runs the fixture extraction inside the op (~21 s of pipeline,
+    # not ranking); the bench times the production shape instead:
+    # pagerank over the PERSISTED golden triples parquet.  The
+    # end-to-end composition stays as the oracle/test path.
+    "kg_pagerank_triples",
     "kg_triples_diff",
     "kg_nodes_upsert",
     "kg_khop_neighborhood",

@@ -73,6 +73,14 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                              "auto-routing, --serve, and the extract stage; "
                              "the directory must be visible on executors "
                              "(shared FS or spark-submit --files)")
+    parser.add_argument("--parser-pkg", dest="parser_pkgs", action="append",
+                        default=[], metavar="PKG",
+                        help="register an INSTALLED parser-collection package "
+                             "by importable dotted name (repeatable; reference "
+                             "register_parser_package, mwcp/registry.py:199-227). "
+                             "Packages advertised via the 'kgmwcp.parsers' "
+                             "entry-point group are auto-discovered without "
+                             "this flag.  Must be pip-installed on executors")
     parser.add_argument("--router", action="store_true",
                         help="enable the JVM signature router stage (YARA-routing "
                              "analogue): byte signatures pre-route each root to "
@@ -144,6 +152,7 @@ def _config_from_args(args):
         greedy=args.greedy,
         include_file_data=args.include_file_data,
         rule_dirs=tuple(args.parser_dirs),
+        rule_packages=tuple(args.parser_pkgs),
     )
 
 
@@ -163,13 +172,22 @@ def main(argv: Optional[list] = None, spark=None) -> dict:
 
         print(json.dumps(report_json_schema(), indent=4))
         return {}
-    if args.parser_dirs:
+    # entry-point auto-discovery (reference register_entry_points,
+    # mwcp/registry.py:131-141): installed collections advertising the
+    # 'kgmwcp.parsers' group register without any flag.  Their package
+    # names join rule_packages so extract workers re-import them by name.
+    from kgmwcp.engine.registry import entry_point_packages
+
+    args.parser_pkgs = list(
+        dict.fromkeys(list(args.parser_pkgs) + entry_point_packages()))
+    if args.parser_dirs or args.parser_pkgs:
         # driver-side registration so --list / --serve / routing see the
         # external groups NOW; the extract workers re-register from
-        # config.rule_dirs (engine/registry.py is idempotent per process)
+        # config.rule_dirs/rule_packages (engine/registry.py is
+        # idempotent per process)
         from kgmwcp.engine.registry import ensure_registered
 
-        ensure_registered(args.parser_dirs)
+        ensure_registered(args.parser_dirs, args.parser_pkgs)
     if args.list_parsers:
         # reference `mwcp list` (cli.py:148-177): name/source/description
         # per parser; here grouped by routing group, JSON only (tabulate

@@ -118,8 +118,10 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
     # long-lived session; review finding).  The final checkpoint's own
     # blocks stay until the caller is done — `ranks.kgmwcp_release()`
     # frees them.  materialize=False keeps the full lazy plan for plan
-    # audits; the persisted edges_norm rides along as
-    # `ranks.kgmwcp_edges_norm` so that caller can unpersist it.
+    # audits; the plan is already built against the persisted node, so
+    # edges_norm is unpersisted immediately there too — nothing was
+    # evaluated, no blocks exist yet, and a long-lived session doing
+    # plan audits must not leak cache entries (review finding).
     ranks = ranks.select("node", "rank", "n_nodes")
     if materialize:
         from kgmwcp.ops.dedup import _free_labels
@@ -130,7 +132,7 @@ def pagerank(edges: DataFrame, iters: int = _PR_ITERS,
             _free_labels(df)
         ranks.kgmwcp_release = (lambda r=ranks: _free_labels(r))
     else:
-        ranks.kgmwcp_edges_norm = edges_norm
+        edges_norm.unpersist()
     return ranks
 
 
@@ -278,6 +280,30 @@ fwd AS (
 edges AS (
   SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
 )""")
+
+
+def q_kg_pagerank_triples(spark, sf_dir):
+    """PageRank over PERSISTED triples — the production daily-rank shape
+    (read yesterday's KG table, rank it) and the honest bench surface
+    for graph analytics (VERDICT r5 #4): `kg_pagerank_pipeline` above
+    re-runs the whole fixture extraction inside the op, which times the
+    pipeline, not the ranking.  Reads the committed golden
+    pipeline_triples.parquet (hash-pinned equal to the live pipeline
+    output by the pipeline_fixture_triples row), same edge mapping, same
+    pagerank(), same unrolled-CTE oracle."""
+    from kgmwcp.fixtures import golden_dir
+
+    triples = spark.read.parquet(f"{golden_dir()}/pipeline_triples.parquet")
+    fwd = triples.select(
+        F.concat(F.lit("s:"), "subj").alias("src"),
+        F.concat(F.lit("e:"), "pred", F.lit("//"), "obj").alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges).select(
+        "node",
+        F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
+    )
 
 
 # -- weighted PageRank (term-frequency edges) ---------------------------------
@@ -603,6 +629,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_pagerank_pipeline": q_kg_pagerank_pipeline,
+    "kg_pagerank_triples": q_kg_pagerank_triples,
     "kg_triples_diff": q_kg_triples_diff,
 }
 
@@ -616,5 +643,7 @@ ORACLES = {
     "kg_pagerank_weighted": SQL_KG_PAGERANK_WEIGHTED,
     # callable: resolved when oracle_sql() is built (see _sql_kg_pagerank_pipeline)
     "kg_pagerank_pipeline": _sql_kg_pagerank_pipeline,
+    # same oracle: both rank the same (golden == live) triples
+    "kg_pagerank_triples": _sql_kg_pagerank_pipeline,
     "kg_triples_diff": SQL_KG_TRIPLES_DIFF,
 }

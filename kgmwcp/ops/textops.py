@@ -1037,7 +1037,8 @@ WITH sig AS (
            AS ellipsis_line_n,
          len(regexp_extract_all(text, '#'))
            + len(regexp_extract_all(text, '\.\.\.')) AS symbol_n,
-         len(regexp_extract_all(text, '(?:^|\s)[^ \t\n\x0B\f\r]*[A-Za-z]'))
+         len(regexp_extract_all(text,
+               '(?:^|[ \t\n\x0B\f\r])[^ \t\n\x0B\f\r]*[A-Za-z]'))
            AS alpha_n
   FROM documents
 ),
@@ -1144,10 +1145,19 @@ SELECT lang, rnk, ngram, n FROM (
 # classic gibberish/encoded-blob quality signal (near-random base64
 # sits ~6 bits, English prose ~4.1).  Shape: one explode to chars, a
 # (doc, char) count whose map-side partial agg collapses each partition
-# to <= |alphabet| rows per doc, then a per-doc rollup.  Identical
-# association in both engines: H = log2(n) - sum(c*log2 c)/n, rounded
-# 4 dp (summation-order fp noise stays far below the rounding
-# granularity, same convention as the PageRank oracles).
+# to <= |alphabet| rows per doc, then a per-doc rollup.
+# H = log2(n) - sum(c*log2 c)/n, rounded 4 dp.  The sum is BIT-EXACT
+# order-deterministic on both engines: a plain F.sum's addition order is
+# partitioning-dependent and DuckDB's is engine-dependent, and 4-dp
+# rounding does NOT absorb that when a doc lands near a 0.00005 boundary
+# (the r5 driver environment hit exactly that while the builder sweep
+# passed).  Fix (VERDICT r5 #2, same pattern as embedding-LSH cumsum and
+# KMV): collect per-doc counts sorted by char, then a sequential
+# left-assoc fold — Spark F.aggregate over array_sort'd collect_list,
+# DuckDB list_reduce over list(c ORDER BY ch).  (0.0 + t1) == t1 in
+# IEEE, so Spark's 0-seeded fold and DuckDB's first-element-seeded
+# reduce are bit-identical.  Per-doc alphabets are small (~100), so the
+# interpreted HOF lambda is off the hot path.
 
 def q_text_entropy(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -1160,13 +1170,17 @@ def q_text_entropy(spark, sf_dir):
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     ent = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("arr"),
+    )
+    clog = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"].cast("double") * F.log2(x["c"]),
     )
     return ent.select(
         "doc_id",
         F.col("n").alias("n_chars"),
-        F.round(F.log2("n") - F.col("clog") / F.col("n"), 4)
-        .alias("entropy_bits"),
+        F.round(F.log2("n") - clog / F.col("n"), 4).alias("entropy_bits"),
     )
 
 
@@ -1177,7 +1191,11 @@ WITH chars AS (
 ),
 counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
 ent AS (
-  SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clog
+  SELECT doc_id, sum(c) AS n,
+         list_reduce(
+           list_transform(list(c ORDER BY ch),
+                          x -> CAST(x AS DOUBLE) * log2(x)),
+           (a, b) -> a + b) AS clog
   FROM counts GROUP BY doc_id
 )
 SELECT doc_id, n AS n_chars, round(log2(n) - clog / n, 4) AS entropy_bits

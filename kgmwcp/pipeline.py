@@ -61,6 +61,11 @@ class PipelineConfig:
     # inside every extract worker (engine/registry.py).  Paths must be
     # visible on executors (shared FS or spark-submit --files).
     rule_dirs: tuple = ()
+    # installed parser-collection packages (reference register_parser_
+    # package / mwcp.parsers entry points): importable dotted names,
+    # re-imported inside every extract worker.  Must be pip-installed on
+    # executors (the reference's own discoverability requirement).
+    rule_packages: tuple = ()
 
 
 class Pipeline:
@@ -87,6 +92,7 @@ class Pipeline:
             emit_file_data=self.config.emit_file_data,
             greedy=self.config.greedy,
             rule_dirs=self.config.rule_dirs,
+            rule_packages=self.config.rule_packages,
         )
 
     # -- full run ----------------------------------------------------------
@@ -164,6 +170,7 @@ class Pipeline:
             emit_file_data=self.config.emit_file_data,
             greedy=self.config.greedy,
             rule_dirs=self.config.rule_dirs,
+            rule_packages=self.config.rule_packages,
         )
         ckpt.write_records(records, fail_after_buckets=fail_after_buckets)
         committed = ckpt.read_records()

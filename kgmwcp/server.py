@@ -40,6 +40,7 @@ pipeline.
 
 from __future__ import annotations
 
+import html
 import json
 import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -214,8 +215,11 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                     self._send_json({"errors": [
                         "Logs endpoint is no longer supported."]})
             elif path == "/upload":
+                # group names come from --parser-dir module globals —
+                # escape both value and label (review finding)
                 options = "\n    ".join(
-                    f'<option value="{g}">{g}</option>'
+                    '<option value="{0}">{0}</option>'.format(
+                        html.escape(g, quote=True))
                     for g in kg.parser_groups())
                 self._send_html(_UPLOAD_FORM.format(options=options))
             else:
@@ -224,7 +228,12 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
         def _read_upload(self):
             """-> (data, filename, fields) or None after sending an
             error response (oversized body / no file)."""
-            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                self._send_json(
+                    {"errors": ["invalid Content-Length header"]}, 400)
+                return None
             if length > max_body:
                 self._send_json(
                     {"errors": [f"request body too large "

@@ -163,7 +163,8 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
                     route_scope: str = "all",
                     emit_file_data: bool = False,
                     greedy: bool = False,
-                    rule_dirs: tuple = ()) -> DataFrame:
+                    rule_dirs: tuple = (),
+                    rule_packages: tuple = ()) -> DataFrame:
     """samples -> unified record stream (mentions + file tree + errors).
 
     ``route_scope``: "all" treats the route column as a named-parser
@@ -171,13 +172,17 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
     router hint (stages/router.py) — first-try priority for the root,
     auto fallback everywhere else.
 
-    ``rule_dirs``: external parser-source directories (engine/registry.py)
-    re-registered inside each worker — executor processes never see
-    driver-side registry mutations, so the directory list rides the
-    closure and loads lazily per python worker (idempotent).
+    ``rule_dirs`` / ``rule_packages``: external parser sources
+    (engine/registry.py) re-registered inside each worker — executor
+    processes never see driver-side registry mutations, so the source
+    lists ride the closure and load lazily per python worker
+    (idempotent).  Directories must be visible on executors (shared FS
+    or --files); packages must be pip-installed there (importable by
+    dotted name, the reference's own requirement).
     """
     kb = dict(knowledge_base or {})
     dirs = tuple(rule_dirs or ())
+    pkgs = tuple(rule_packages or ())
     needed = ["repo", "path", "commit", "route", "content_bin", "bucket"]
 
     def mapper(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -187,10 +192,10 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
         # the identify-cache warm across batches.
         from kgmwcp.engine.dispatcher import ExtractionEngine
 
-        if dirs:
+        if dirs or pkgs:
             from kgmwcp.engine.registry import ensure_registered
 
-            ensure_registered(dirs)
+            ensure_registered(dirs, pkgs)
         engine = ExtractionEngine(group_order=group_order, greedy=greedy)
         for batch in batches:
             yield _process_arrow_batch(batch, engine, kb, route_scope,

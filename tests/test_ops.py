@@ -318,7 +318,8 @@ def test_ws_class_agrees_on_vertical_tab(spark, tmp_path):
     _assert_oracle_parity(
         spark, _duck_on(sf),
         ("text_quality", "text_token_count", "doc_fingerprint",
-         "dedup_substring_spans"), sf)
+         "dedup_substring_spans", "text_gopher_quality", "text_entropy"),
+        sf)
 
 
 def test_pagerank_star_graph(spark):
