@@ -85,6 +85,12 @@ def _parse_args(argv: Optional[list] = None) -> argparse.Namespace:
                         help="enable the JVM signature router stage (YARA-routing "
                              "analogue): byte signatures pre-route each root to "
                              "its parser group")
+    parser.add_argument("--yara-repo", default=None, metavar="DIR",
+                        help="route via a directory of .yara/.yar rules with "
+                             "mwcp= meta (reference mwcp/runner.py:158-209), "
+                             "compiled into JVM Column predicates; rules "
+                             "outside the supported subset warn-and-skip "
+                             "(their rows auto-dispatch)")
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing checkpoint manifests")
     parser.add_argument("--streaming", action="store_true",
@@ -148,6 +154,7 @@ def _config_from_args(args):
         extract_partitions=args.extract_partitions,
         knowledge_base=json.loads(args.knowledge_base),
         use_router=args.router,
+        yara_repo=args.yara_repo,
         emit_file_data=args.residuals or args.include_file_data,
         greedy=args.greedy,
         include_file_data=args.include_file_data,

@@ -44,6 +44,12 @@ class PipelineConfig:
     # fill NULL routes so the python identify cascade first-tries the
     # right group; input-supplied routes still win.
     use_router: bool = False
+    # YARA rule-repo routing (stages/yara_router.py, P10 full form —
+    # reference runner.py:158-209): .yara files with mwcp= meta compiled
+    # into Column predicates.  Takes the router slot when set; rules
+    # outside the supported subset warn-and-skip (rows fall back to auto
+    # dispatch, never silently misroute).
+    yara_repo: Optional[str] = None
     # residual-file sink (reference report.py:861-885 writes output_file
     # children to disk): when on, file_node records carry the child's
     # payload bytes and a content-addressed `residuals` table is emitted.
@@ -73,9 +79,27 @@ class Pipeline:
         self.config = config or PipelineConfig()
 
     # -- stages ----------------------------------------------------------
+    def _yara_rules(self):
+        """Compile the YARA repo once per Pipeline (driver-side only —
+        the compiled Columns serialize into the plan, executors never
+        need the rule files)."""
+        if not hasattr(self, "_yara_cache"):
+            from kgmwcp.stages.yara_router import compile_yara_repo
+
+            self._yara_cache = compile_yara_repo(self.config.yara_repo)
+        return self._yara_cache[0]
+
+    @property
+    def _routed(self) -> bool:
+        return bool(self.config.use_router or self.config.yara_repo)
+
     def samples(self, docs: DataFrame) -> DataFrame:
         samples = prepare_samples(docs, n_buckets=self.config.n_buckets)
-        if self.config.use_router:
+        if self.config.yara_repo:
+            from kgmwcp.stages.yara_router import route_samples_yara
+
+            samples = route_samples_yara(samples, self._yara_rules())
+        elif self.config.use_router:
             samples = route_samples(samples)
         return samples
 
@@ -88,7 +112,7 @@ class Pipeline:
             samples,
             group_order=self.config.group_order,
             knowledge_base=self.config.knowledge_base,
-            route_scope="root" if self.config.use_router else "all",
+            route_scope="root" if self._routed else "all",
             emit_file_data=self.config.emit_file_data,
             greedy=self.config.greedy,
             rule_dirs=self.config.rule_dirs,
@@ -166,7 +190,7 @@ class Pipeline:
             frontier,
             group_order=self.config.group_order,
             knowledge_base=self.config.knowledge_base,
-            route_scope="root" if self.config.use_router else "all",
+            route_scope="root" if self._routed else "all",
             emit_file_data=self.config.emit_file_data,
             greedy=self.config.greedy,
             rule_dirs=self.config.rule_dirs,

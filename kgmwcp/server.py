@@ -23,6 +23,14 @@ one-row corpus, so there is no second extraction code path to drift:
                                   (reference server.py:63-97, incl. its
                                   deprecation-warning errors entry)
 
+``/run_parser`` honors the reference's ``output=`` parameter (URL or
+form field, server.py:304-355): ``json`` (default), ``text`` (rendered
+report), ``zip`` (files/ residual payloads + results.json +
+results.txt, reference download filename), ``stix`` (the sample's STIX
+2.1 bundle); unknown values fall back to json like the reference.  The
+one remaining parity hole is ``highlight=`` (pygments is not in the
+container; documented exclusion in COVERAGE.md).
+
 The upload rides the multipart/form-data field ``data``
 (reference-compatible, server.py:44-46) or, as a convenience, the raw
 request body.  Errors mirror the reference's strings ("No input file
@@ -113,22 +121,47 @@ class KgServer:
             for rule in RULE_GROUPS[group]
         ]
 
-    def run(self, data: bytes, name: str, parser: Optional[str] = None) -> dict:
+    def run(self, data: bytes, name: str, parser: Optional[str] = None,
+            include_file_data: bool = False,
+            want_stix: bool = False):
         """One uploaded blob -> its report document (the same report_json
         the batch pipeline writes).  ``parser`` must already be
-        validated by the caller (the handler 400s unknown groups)."""
+        validated by the caller (the handler 400s unknown groups).
+
+        ``include_file_data`` runs a config variant whose File elements
+        carry base64 payloads (the zip output needs the residual bytes);
+        ``want_stix`` returns (report, stix_bundle_dict) instead."""
+        import dataclasses
+
         from kgmwcp.stages.ingest import single_sample_docs
 
+        pipeline = self.pipeline
+        if include_file_data and not self.config.include_file_data:
+            if not hasattr(self, "_pipeline_filedata"):
+                from kgmwcp.pipeline import Pipeline
+
+                self._pipeline_filedata = Pipeline(dataclasses.replace(
+                    self.config, emit_file_data=True,
+                    include_file_data=True))
+            pipeline = self._pipeline_filedata
         docs = single_sample_docs(self.spark, data, name, route=parser)
-        tables = self.pipeline.run(docs)
+        tables = pipeline.run(docs)
         try:
             rows = tables["reports"].select("report_json").collect()
+            stix = None
+            if want_stix:
+                stix_rows = tables["stix"].select("bundle_json").collect()
+                assert len(stix_rows) == 1
+                stix = json.loads(stix_rows[0]["bundle_json"])
         finally:
             # Pipeline.run persists the records barrier; a long-running
             # server must not leak one cached relation per request
             tables["records"].unpersist()
         assert len(rows) == 1, f"expected one report, got {len(rows)}"
-        return json.loads(rows[0]["report_json"])
+        report = json.loads(rows[0]["report_json"])
+        if want_stix:
+            return report, stix
+        return report
 
 
 # reference server.py:74-76 (verbatim deprecation-warning errors entry)
@@ -252,12 +285,54 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                 return None
             return data, filename, fields
 
+        def _send_bytes(self, payload: bytes, ctype: str,
+                        download_name: Optional[str] = None,
+                        status: int = 200) -> None:
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            if download_name:
+                self.send_header(
+                    "Content-Disposition",
+                    f'attachment; filename="{download_name}"')
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        @staticmethod
+        def _build_zip(report: dict, text: str) -> bytes:
+            """The reference's zip response (server.py:270-301):
+            files/ holds every residual File element's payload
+            (collision-safe {md5:5}_{name}, the residual_files/ batch
+            convention), plus results.json and results.txt."""
+            import base64
+            import io
+            import zipfile
+
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for el in report.get("metadata", []):
+                    if el.get("type") == "file" and el.get("data"):
+                        fname = "".join(
+                            ch if (ch.isalnum() or ch in "._-") else "_"
+                            for ch in (el.get("name") or "residual.bin"))
+                        zf.writestr(
+                            f"files/{(el.get('md5') or '')[:5]}_{fname}",
+                            base64.b64decode(el["data"]))
+                zf.writestr("results.json", json.dumps(report, indent=2))
+                zf.writestr("results.txt",
+                            text.encode("ascii", "backslashreplace"))
+            return buf.getvalue()
+
         def do_POST(self):
-            multi = re.fullmatch(r"/run_parsers/(.+?)/?", self.path)
+            multi = re.fullmatch(r"/run_parsers/(.+?)/?", self.path.split("?", 1)[0])
             if multi:
                 self._run_parsers(multi.group(1))
                 return
-            match = re.fullmatch(r"/run_parser(?:/([^/]+))?/?", self.path)
+            from urllib.parse import parse_qs, urlsplit
+
+            split = urlsplit(self.path)
+            query = {k: v[-1] for k, v in parse_qs(split.query).items()}
+            match = re.fullmatch(r"/run_parser(?:/([^/]+))?/?", split.path)
             if not match:
                 self._send_json({"errors": ["not found"]}, 404)
                 return
@@ -267,6 +342,12 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                 return
             data, filename, fields = upload
             parser = parser or fields.get("parser") or None
+            # reference server.py:304-310: output from URL params or form
+            # fields, unknown values fall back to json
+            output = (query.get("output") or fields.get("output")
+                      or "json").lower()
+            if output not in ("json", "text", "zip", "stix"):
+                output = "json"
             # validate the group BEFORE running — an over-broad
             # `except KeyError` around kg.run would misreport internal
             # KeyErrors as client errors (code-review finding)
@@ -275,11 +356,31 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
                     {"errors": [f"unknown parser group: {parser}"]}, 400)
                 return
             try:
-                report = kg.run(data, filename or "upload.bin", parser)
+                result = kg.run(data, filename or "upload.bin", parser,
+                                include_file_data=(output == "zip"),
+                                want_stix=(output == "stix"))
             except Exception as exc:  # surface as a 500, don't kill the thread
                 self._send_json({"errors": [f"extraction failed: {exc}"]}, 500)
                 return
-            self._send_json(report)
+            if output == "stix":
+                report, stix = result
+                self._send_json(stix)
+                return
+            report = result
+            if output == "json":
+                self._send_json(report)
+                return
+            from kgmwcp.render import render_report
+
+            text = render_report(report, "text")
+            if output == "text":
+                self._send_bytes(text.encode("utf-8"),
+                                 "text/plain; charset=utf-8")
+                return
+            # output == "zip" — reference download name, server.py:341-345
+            self._send_bytes(
+                self._build_zip(report, text), "application/zip",
+                download_name=f"{filename or 'upload.bin'}_mwcp_output.zip")
 
         def _run_parsers(self, parsers_path: str) -> None:
             """POST /run_parsers/<p1>/<p2>/... — same input through each

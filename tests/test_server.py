@@ -189,6 +189,70 @@ def test_run_parsers_no_data(http_server):
     assert err["errors"] == ["No input file provided"]
 
 
+def _post_raw(url, body, content_type):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": content_type})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def test_output_text(http_server):
+    """output= via URL param (reference server.py:304-310): rendered
+    text report instead of JSON."""
+    payload = b"%PDF-1.4 stream http://text-out.example.com/a end"
+    status, headers, raw = _post_raw(
+        http_server + "/run_parser?output=text", payload,
+        "application/octet-stream")
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+    text = raw.decode()
+    assert "PDF Document" in text and "text-out.example.com" in text
+
+
+def test_output_zip(http_server):
+    """output=zip (reference server.py:341-345, _build_zip:270-301):
+    files/ residual payloads + results.json + results.txt, download
+    filename <upload>_mwcp_output.zip."""
+    import io
+    import zipfile
+
+    inner = b"inner payload http://zipres.example/x\n"
+    payload = fixtures.defender_payload(inner, variant="0bad")
+    body, ctype = _multipart(payload, "quarantine.bin",
+                             fields={"output": "zip"})  # form-field spelling
+    status, headers, raw = _post_raw(http_server + "/run_parser", body, ctype)
+    assert status == 200
+    assert headers["Content-Type"] == "application/zip"
+    assert "quarantine.bin_mwcp_output.zip" in headers["Content-Disposition"]
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    assert "results.json" in names and "results.txt" in names
+    report = json.loads(zf.read("results.json"))
+    assert report["input_file"]["name"] == "quarantine.bin"
+    residuals = [n for n in names if n.startswith("files/")]
+    assert residuals, names
+    # the residual's bytes round-trip exactly (decrypted quarantine body)
+    assert any(zf.read(n) == inner for n in residuals)
+
+
+def test_output_stix(http_server):
+    payload = b"%PDF-1.4 stream http://stix-out.example.com/a end"
+    status, bundle = _post(http_server + "/run_parser?output=stix", payload,
+                           "application/octet-stream")
+    assert status == 200
+    assert bundle["type"] == "bundle"
+    types = {o["type"] for o in bundle["objects"]}
+    assert "file" in types and "url" in types
+
+
+def test_output_unknown_falls_back_to_json(http_server):
+    payload = (fixtures.FOO_TEXT + "\n# variant 9\n").encode()
+    body, ctype = _multipart(payload, "x.txt", fields={"parser": "foo"})
+    status, report = _post(http_server + "/run_parser?output=nonsense",
+                           body, ctype)
+    assert status == 200 and report["parser"] == "Foo"
+
+
 def test_body_too_large(spark):
     """Content-Length beyond max_body -> 413 before the body is read
     (one oversized upload must not exhaust driver memory)."""
