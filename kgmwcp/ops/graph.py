@@ -621,7 +621,129 @@ FROM deg GROUP BY 1, 2
 """
 
 
+# -- triangle counting over the entity co-occurrence projection ---------------
+# The KG link-quality metric: entities that co-occur (share a subject
+# sample) form an undirected graph; per-node triangle counts flag the
+# tightly-clustered entity families (a C2 config's url+socket+mutex
+# always travel together) vs incidental pairs.  Scale shape: the
+# standard distributed algorithm — orient every edge from the lower to
+# the higher endpoint under the (degree, id) total order, which makes
+# the orientation a DAG whose max out-degree is O(√m); each triangle
+# then has exactly ONE node with out-edges to the other two, so
+# wedge-join (e1.src = e2.src) + closing-edge equijoin counts each
+# triangle exactly once with no post-dedup.  The wedge join must NOT be
+# restricted by lexicographic dst order (the closing edge is oriented by
+# DEGREE order, which can disagree) — the asymmetric e3 equijoin is what
+# picks one of the two wedge orders.  `oriented` is persisted: it feeds
+# three join legs, and recomputing the co-occurrence aggregate per leg
+# triples the expensive part (the LSH-bands lesson).  Persist lifecycle
+# mirrors pagerank(): the default path eagerly checkpoints the (small)
+# per-node counts and releases the edge cache; materialize=False keeps
+# the lazy plan for plan audits and unpersists immediately (nothing was
+# evaluated — no blocks exist yet).
+
+def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
+    from pyspark import StorageLevel
+
+    from kgmwcp.fixtures import golden_dir
+
+    triples = spark.read.parquet(f"{golden_dir()}/pipeline_triples.parquet")
+    ents = triples.select(
+        "subj", F.concat("pred", F.lit("//"), "obj").alias("ent")
+    ).distinct()
+    edges = (
+        ents.alias("a").join(ents.alias("b"), "subj")
+        .filter(F.col("a.ent") < F.col("b.ent"))
+        .select(F.col("a.ent").alias("x"), F.col("b.ent").alias("y"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    oriented = (
+        edges.join(dx, "x").join(dy, "y")
+        .select(
+            F.when(lower_first, F.col("x")).otherwise(F.col("y"))
+            .alias("src"),
+            F.when(lower_first, F.col("y")).otherwise(F.col("x"))
+            .alias("dst"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "a").filter(F.col("b") != F.col("c"))
+        .join(e3, ["b", "c"])
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    if materialize:
+        from kgmwcp.ops.dedup import _free_labels
+
+        counts = counts.localCheckpoint()
+        oriented.unpersist()
+        counts.kgmwcp_release = (lambda r=counts: _free_labels(r))
+    else:
+        oriented.unpersist()
+    return counts
+
+
+def _sql_kg_triangle_count() -> str:
+    from kgmwcp.fixtures import golden_dir
+
+    g = golden_dir()
+    return f"""
+WITH ents AS (
+  SELECT DISTINCT subj, pred || '//' || obj AS ent
+  FROM read_parquet('{g}/pipeline_triples.parquet')
+),
+edges AS (
+  SELECT a.ent AS x, b.ent AS y
+  FROM ents a JOIN ents b USING (subj)
+  WHERE a.ent < b.ent
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT x AS node FROM edges UNION ALL SELECT y FROM edges
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND e.x < e.y)
+              THEN e.x ELSE e.y END AS src,
+         CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND e.x < e.y)
+              THEN e.y ELSE e.x END AS dst
+  FROM edges e JOIN deg dx ON e.x = dx.node JOIN deg dy ON e.y = dy.node
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY node
+"""
+
+
 QUERIES = {
+    "kg_triangle_count": q_kg_triangle_count,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_components_pipeline": q_kg_components_pipeline,
     "kg_nodes_upsert": q_kg_nodes_upsert,
@@ -635,6 +757,7 @@ QUERIES = {
 
 ORACLES = {
     # callables: resolved when oracle_sql() is built
+    "kg_triangle_count": _sql_kg_triangle_count,
     "kg_degree_stats": _sql_kg_degree_stats,
     "kg_components_pipeline": _sql_kg_components_pipeline,
     "kg_nodes_upsert": SQL_KG_NODES_UPSERT,

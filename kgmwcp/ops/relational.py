@@ -932,6 +932,372 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking, adapted to the driver schema (the
+    synthetic lineitem has no l_commitdate/l_receiptdate): orders in one
+    quarter having at least one RETURNED line (l_returnflag='R').  The
+    shape that matters is the EXISTS: Spark plans it as a LEFT SEMI join
+    orders→lineitem on orderkey — no row multiplication, map-side
+    distinct on the probe side, then a 5-group count.  At 100 TB both
+    sides shuffle on orderkey once; the quarter filter pushes to the
+    orders scan so the semi-join's build side is already pruned."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    sel = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between a nation pair.  Scale shape: the
+    nation-pair filter is applied to the supplier and customer DIMS
+    before they touch the fact table (two tiny broadcast dims), so the
+    lineitem scan joins against only in-pair suppliers/customers; the
+    cross-pair exclusion (supp≠cust nation) is a cheap post-join filter
+    on broadcast-resident columns.  orders⋈lineitem is the one fact
+    shuffle; customer rides broadcast here and would shuffle at 100 TB
+    (AQE decides from the runtime size — see tpch_q3's note)."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1, n2))
+    supplier = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    customer = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("cn_nationkey"),
+            F.col("n_name").alias("cust_nation"))),
+              F.col("c_nationkey") == F.col("cn_nationkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = _t(spark, sf_dir, "orders")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    agg = joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(F.sum(_cents(disc)).alias("revenue_c"))
+    return agg.orderBy("supp_nation", "cust_nation", "l_year").select(
+        "supp_nation", "cust_nation", "l_year",
+        F.round(F.col("revenue_c") / 100.0, 2).alias("revenue"))
+
+
+SQL_TPCH_Q7 = """
+WITH agg AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+    AND cn.n_name IN ('NATION_1', 'NATION_2')
+    AND sn.n_name <> cn.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3
+)
+SELECT supp_nation, cust_nation, l_year,
+       round(revenue_c / 100.0, 2) AS revenue
+FROM agg ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9 product-type profit, adapted (no partsupp table in the driver
+    schema, so profit = discounted revenue rather than revenue −
+    supplycost; the join/agg SHAPE is Q9's).  Part is filtered by the
+    name predicate before broadcasting — at 100 TB the filtered part dim
+    is the classic candidate for AQE's runtime broadcast decision; the
+    supplier→nation collapse is one tiny dim.  Group key (nation, year)
+    is low-cardinality → map-side partial agg does almost all the
+    work."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    nation = _t(spark, sf_dir, "nation")
+    sup_dim = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_dim), li.l_suppkey == sup_dim.s_suppkey)
+    )
+    agg = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").alias("o_year"),
+    ).agg(F.sum(_cents(disc)).alias("profit_c"))
+    return agg.orderBy("nation", F.col("o_year").desc()).select(
+        "nation", "o_year",
+        F.round(F.col("profit_c") / 100.0, 2).alias("sum_profit"))
+
+
+SQL_TPCH_Q9 = """
+WITH agg AS (
+  SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS profit_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY 1, 2
+)
+SELECT nation, o_year, round(profit_c / 100.0, 2) AS sum_profit
+FROM agg ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting: top-20 customers by revenue lost to
+    returns in one quarter.  customer⋈orders shuffles on custkey (at
+    100 TB customer is fact-sized — never broadcast); nation rides
+    broadcast; the top-20 is a TakeOrderedAndProject (per-partition
+    heap + driver merge of 20-row heads), never a full sort."""
+    cutlo = F.lit("1996-01-01").cast("timestamp")
+    cuthi = F.lit("1996-04-01").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi))
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy(
+        "c_custkey", "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
+    ).agg(F.sum(_cents(disc)).alias("revenue_c"))
+    return (
+        agg.orderBy(F.col("revenue_c").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name",
+                F.round(F.col("revenue_c") / 100.0, 2).alias("revenue"),
+                "c_acctbal", "n_name")
+    )
+
+
+SQL_TPCH_Q10 = """
+WITH agg AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, round(revenue_c / 100.0, 2) AS revenue,
+       c_acctbal, n_name
+FROM agg ORDER BY revenue_c DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 promotion effect: one month of lineitem against the part dim,
+    promo share of revenue.  Both the promo and total sums are exact
+    cent integers, so the final ratio is a division of two exact BIGINTs
+    — order-independent on both engines.  Part broadcasts (it is the
+    smaller-by-orders-of-magnitude side even at 100 TB after column
+    pruning to (partkey, type))."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc_c).otherwise(F.lit(0)))
+        .alias("promo_c"),
+        F.sum(disc_c).alias("total_c"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo_c") / F.col("total_c"), 4)
+        .alias("promo_revenue_pct"),
+        F.round(F.col("total_c") / 100.0, 2).alias("total_revenue"),
+    )
+
+
+SQL_TPCH_Q14 = """
+WITH agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) ELSE 0 END) AS promo_c,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT round(100.0 * promo_c / total_c, 4) AS promo_revenue_pct,
+       round(total_c / 100.0, 2) AS total_revenue
+FROM agg
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: orders whose total quantity exceeds a
+    threshold, with customer detail, top-100 by order value.  Shape: the
+    HAVING aggregate runs FIRST on lineitem alone (map-side partial sums
+    on orderkey, then the filter throws away ~99% of orders before any
+    join) — the order that keeps the expensive joins small at 100 TB.
+    l_quantity values are integral, so the long cast keeps the HAVING
+    sum exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+    )
+    return (
+        joined.orderBy(F.col("o_totalprice").desc(), "l_orderkey")
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_name, c_custkey, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY orders.o_totalprice DESC, l_orderkey LIMIT 100
+"""
+
+
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the same user's most recent
+    view at-or-before the purchase timestamp.  Spark has no ASOF JOIN
+    operator; a range self-join explodes to |views|·|purchases| per
+    user, so the scale shape is the union-tag + running-window trick:
+    union both sides, ONE shuffle on user_id, and carry the latest view
+    forward with last(..., ignorenulls) over (ts, tag) — views sort
+    before same-timestamp purchases, giving the v_ts ≤ p_ts tie rule.
+    Duplicate views at the same (user, ts) are resolved to the max
+    event_id WITHOUT a dedupe aggregate: the window orders by (ts, tag,
+    view_id), so among same-timestamp views the max id is carried —
+    the whole op is exactly ONE exchange (asserted in test_plans); the
+    DuckDB twin uses its native ASOF LEFT JOIN on an explicitly deduped
+    view table (same collapse).  Gap is computed in exact microseconds
+    (unix_micros/epoch_us) — no float time math."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value")
+    tagged = views.select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionByName(purchases.select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("view_id"), "purchase_id", "value",
+    ))
+    w = Window.partitionBy("user_id").orderBy("ts", "tag", "view_id")
+    carried = tagged.select(
+        "user_id", "ts", "tag", "purchase_id", "value",
+        F.last("view_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")),
+               ignorenulls=True).over(w).alias("view_ts"),
+    )
+    out = carried.filter(F.col("tag") == 1)
+    return out.select(
+        "purchase_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
+        "view_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("view_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("view_ts").cast("timestamp")))
+        .alias("gap_us"),
+        "value",
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+       v.view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+       p.value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -942,6 +1308,13 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "events_asof_join": q_events_asof_join,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
     "dedup_iter": q_dedup_iter,
@@ -973,6 +1346,13 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q9": SQL_TPCH_Q9,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q18": SQL_TPCH_Q18,
+    "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,
     "dedup_iter": SQL_DEDUP_ITER,

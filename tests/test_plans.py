@@ -249,3 +249,46 @@ def test_tpch_q6_predicates_push_to_scan(spark):
     assert "Join" not in plan
     # column pruning: only the four referenced columns are read
     assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must plan as a LEFT SEMI join (no row multiplication
+    from multi-line orders, no correlated re-scan per order)."""
+    from kgmwcp.ops.relational import q_tpch_q4
+
+    plan = _plan(q_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q18_top100_no_global_sort(spark):
+    """Q18's top-100 must be a TakeOrderedAndProject (per-partition heap
+    + driver merge), never a full sort of the joined result."""
+    from kgmwcp.ops.relational import q_tpch_q18
+
+    plan = _plan(q_tpch_q18(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_asof_join_single_exchange(spark):
+    """The as-of union-window shape must cost exactly ONE shuffle
+    (user_id for the running window) — a dedupe aggregate before the
+    union, or a range self-join, would add more."""
+    from kgmwcp.ops.relational import q_events_asof_join
+
+    plan = _plan(q_events_asof_join(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kg_triangle_count_no_cartesian(spark):
+    """Triangle counting must stay equijoin-only: the wedge join and the
+    closing-edge join are hash joins on src/(b,c) — a cartesian or a
+    python fallback here explodes quadratically at real edge counts."""
+    from kgmwcp.ops.graph import q_kg_triangle_count
+
+    df = q_kg_triangle_count(spark, SF, materialize=False)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
