@@ -642,7 +642,11 @@ FROM deg GROUP BY 1, 2
 # the lazy plan for plan audits and unpersists immediately (nothing was
 # evaluated — no blocks exist yet).
 
-def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
+def _cooccur_tri(spark):
+    """Co-occurrence projection + degree-oriented triangle enumeration;
+    returns (edges, deg, tri, oriented) with `oriented` PERSISTED — the
+    caller owns the unpersist.  Shared by triangle counts, clustering
+    coefficient and edge-Jaccard so the three ops stay one algorithm."""
     from pyspark import StorageLevel
 
     from kgmwcp.fixtures import golden_dir
@@ -683,13 +687,13 @@ def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
         e1.join(e2, "a").filter(F.col("b") != F.col("c"))
         .join(e3, ["b", "c"])
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    counts = corners.groupBy("node").agg(
-        F.count(F.lit(1)).alias("n_triangles"))
+    return edges, deg, tri, oriented
+
+
+def _finish(counts, oriented, materialize):
+    """Shared persist lifecycle (mirrors pagerank): eagerly checkpoint
+    the small result and release the edge cache, or — for plan audits —
+    keep the lazy plan and unpersist immediately (nothing evaluated)."""
     if materialize:
         from kgmwcp.ops.dedup import _free_labels
 
@@ -701,7 +705,22 @@ def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
     return counts
 
 
-def _sql_kg_triangle_count() -> str:
+def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
+    _, _, tri, oriented = _cooccur_tri(spark)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    return _finish(counts, oriented, materialize)
+
+
+def _sql_tri_cte() -> str:
+    """Shared ents→edges→deg→oriented→tri CTE prefix — the DuckDB twin
+    of _cooccur_tri, used verbatim by all three triangle-family oracles
+    so the twins cannot drift apart."""
     from kgmwcp.fixtures import golden_dir
 
     g = golden_dir()
@@ -733,17 +752,126 @@ tri AS (
   FROM oriented e1
   JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
   JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+tri_counts AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
 )
-SELECT node, count(*) AS n_triangles FROM (
-  SELECT a AS node FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri
-) GROUP BY node
+"""
+
+
+def _sql_kg_triangle_count() -> str:
+    return _sql_tri_cte() + """
+SELECT node, n_triangles FROM tri_counts
+"""
+
+
+# -- clustering coefficient & SCAN-style edge similarity ----------------------
+# Both reuse the exact triangle enumeration (one persisted `oriented`
+# pass feeds everything).  Clustering coefficient is the node-level
+# link-quality score cc = 2T/(d(d-1)): a C2 family whose IOCs all
+# co-occur scores ~1.0, a hub entity gluing unrelated samples scores ~0.
+# Edge Jaccard is SCAN's structural similarity per co-occurrence EDGE:
+# common neighbors of (x,y) = triangles through that edge, so it rides
+# the same bounded wedge join — NOT the naive per-center neighbor-pair
+# blow-up (Σd² rows; a hot hub with d=10⁶ would emit 10¹² pairs).
+# jac = common / (dx-1 + dy-1 - common); both inputs are exact integers
+# so the one rounded division is bit-identical across engines.
+
+def q_kg_clustering_coeff(spark, sf_dir, materialize: bool = True):
+    _, deg, tri, oriented = _cooccur_tri(spark)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tric = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    out = (
+        deg.join(tric, "node", "left_outer")
+        .select(
+            "node", F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(F.col("d") >= 2,
+                   F.round(2.0 * F.coalesce("n_triangles", F.lit(0))
+                           / (F.col("d") * (F.col("d") - 1)), 4))
+            .otherwise(F.lit(0.0)).alias("clustering_coeff"),
+        )
+    )
+    return _finish(out, oriented, materialize)
+
+
+def _sql_kg_clustering_coeff() -> str:
+    return _sql_tri_cte() + """
+SELECT deg.node, deg.d AS degree,
+       coalesce(tc.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(tc.n_triangles, 0)
+                       / (deg.d * (deg.d - 1)), 4)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT OUTER JOIN tri_counts tc ON deg.node = tc.node
+"""
+
+
+def q_kg_edge_jaccard(spark, sf_dir, materialize: bool = True):
+    edges, deg, tri, oriented = _cooccur_tri(spark)
+    # each triangle closes all three of its (undirected) edges once;
+    # re-key the oriented corners back to the x<y edge identity
+    pair = (
+        tri.select(F.least("a", "b").alias("x"),
+                   F.greatest("a", "b").alias("y"))
+        .unionAll(tri.select(F.least("a", "c").alias("x"),
+                             F.greatest("a", "c").alias("y")))
+        .unionAll(tri.select(F.least("b", "c").alias("x"),
+                             F.greatest("b", "c").alias("y")))
+    )
+    common = pair.groupBy("x", "y").agg(F.count(F.lit(1)).alias("common"))
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    # |Γ(x)∩Γ(y)| excl. each other = common; |Γ∪Γ| = (dx-1)+(dy-1)-common
+    denom = F.col("dx") + F.col("dy") - 2 - F.col("common")
+    out = (
+        edges.join(common, ["x", "y"], "left_outer")
+        .withColumn("common", F.coalesce("common", F.lit(0)))
+        .join(dx, "x").join(dy, "y")
+        .select(
+            "x", "y", "common",
+            F.when(denom > 0, F.round(F.col("common") / denom, 4))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+    return _finish(out, oriented, materialize)
+
+
+def _sql_kg_edge_jaccard() -> str:
+    return _sql_tri_cte() + """
+, pair AS (
+  SELECT least(a, b) AS x, greatest(a, b) AS y FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+common AS (
+  SELECT x, y, count(*) AS common FROM pair GROUP BY 1, 2
+)
+SELECT e.x, e.y, coalesce(c.common, 0) AS common,
+       CASE WHEN dx.d + dy.d - 2 - coalesce(c.common, 0) > 0
+            THEN round(coalesce(c.common, 0) * 1.0
+                       / (dx.d + dy.d - 2 - coalesce(c.common, 0)), 4)
+            ELSE 0.0 END AS jaccard
+FROM edges e
+LEFT OUTER JOIN common c ON e.x = c.x AND e.y = c.y
+JOIN deg dx ON e.x = dx.node
+JOIN deg dy ON e.y = dy.node
 """
 
 
 QUERIES = {
     "kg_triangle_count": q_kg_triangle_count,
+    "kg_clustering_coeff": q_kg_clustering_coeff,
+    "kg_edge_jaccard": q_kg_edge_jaccard,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_components_pipeline": q_kg_components_pipeline,
     "kg_nodes_upsert": q_kg_nodes_upsert,
@@ -758,6 +886,8 @@ QUERIES = {
 ORACLES = {
     # callables: resolved when oracle_sql() is built
     "kg_triangle_count": _sql_kg_triangle_count,
+    "kg_clustering_coeff": _sql_kg_clustering_coeff,
+    "kg_edge_jaccard": _sql_kg_edge_jaccard,
     "kg_degree_stats": _sql_kg_degree_stats,
     "kg_components_pipeline": _sql_kg_components_pipeline,
     "kg_nodes_upsert": SQL_KG_NODES_UPSERT,

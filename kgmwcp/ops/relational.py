@@ -1298,6 +1298,249 @@ ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_tpch_q8(spark, sf_dir):
+    """Q8 national market share, adapted to the driver schema: among
+    'PROMO'-type parts bought by customers in region 'ASIA', the share
+    of revenue supplied from NATION_2, by order year.  Scale shape: all
+    three dims are FILTERED before broadcast (part by type, customer by
+    region membership, supplier tagged with its nation name), so the
+    only fact-fact shuffle is lineitem⋈orders on orderkey.  Both the
+    nation-share and total sums are exact cent BIGINTs, so the final
+    ratio is one deterministic division — order-independent on both
+    engines."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(
+            nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", disc_c)
+              .otherwise(F.lit(0))).alias("nation_c"),
+        F.sum(disc_c).alias("total_c"),
+    )
+    return agg.orderBy("o_year").select(
+        "o_year",
+        F.round(F.col("nation_c") / F.col("total_c"), 4).alias("mkt_share"))
+
+
+SQL_TPCH_Q8 = """
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         sum(CASE WHEN sn.n_name = 'NATION_2'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) ELSE 0 END) AS nation_c,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND EXISTS (SELECT 1 FROM customer
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+  GROUP BY 1
+)
+SELECT o_year, round(nation_c * 1.0 / total_c, 4) AS mkt_share
+FROM agg ORDER BY o_year
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution (adapted: the exclusion
+    pattern runs on o_orderpriority — the synthetic orders have no
+    comment column).  Shape: customer LEFT OUTER orders so zero-order
+    customers keep a 0 bucket, then a second, tiny aggregation over the
+    per-customer counts.  At 100 TB the custkey join is the one real
+    shuffle; the distribution agg groups on at most a few hundred
+    distinct counts → map-side partials collapse it."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15 top supplier(s) by quarterly revenue.  The max-revenue scalar
+    is an aggregate-of-aggregate: per-supplier revenue (one shuffle on
+    suppkey), then the 1-row global max rides a broadcast nested-loop
+    against the per-supplier table — the standard scalar-subquery plan;
+    no driver collect, no second pass over lineitem (revenue0 feeds both
+    sides of the comparison from one shuffle via plan reuse).  Revenue
+    is exact cents so 'equal to max' is bit-exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_c).alias("total_revenue_c"))
+    top = revenue0.agg(F.max("total_revenue_c").alias("max_c"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        revenue0.join(F.broadcast(top),
+                      F.col("total_revenue_c") == F.col("max_c"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name",
+                F.round(F.col("total_revenue_c") / 100.0, 2)
+                .alias("total_revenue"))
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(total_revenue_c / 100.0, 2) AS total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue: lines of one brand whose
+    quantity is below 20% of that part's average.  The correlated scalar
+    subquery plans as a per-part aggregate joined back — ONE pass
+    building (sum, count) per partkey, then the threshold test.  The
+    0.2·avg comparison is kept in INTEGER math (5·qty·cnt < sum_qty;
+    l_quantity is integral) so the filter is bit-exact on both engines —
+    a float avg would be summation-order-dependent exactly at boundary
+    rows.  Part is filtered to one brand before broadcasting."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey) \
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+                "l_extendedprice")
+    stats = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"))
+    small = branded.join(stats, branded.l_partkey == stats.pk).filter(
+        F.col("qty") * F.col("cnt") * 5 < F.col("sum_qty"))
+    agg = small.agg(F.sum(_cents(F.col("l_extendedprice"))).alias("ext_c"))
+    return agg.select(
+        F.round(F.col("ext_c") / 100.0 / 7.0, 4).alias("avg_yearly"))
+
+
+SQL_TPCH_Q17 = """
+WITH branded AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+stats AS (
+  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS cnt
+  FROM branded GROUP BY 1
+)
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0,
+             4) AS avg_yearly
+FROM branded JOIN stats ON l_partkey = pk
+WHERE qty * cnt * 5 < sum_qty
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue under three disjunctive brand/size/
+    quantity clauses.  The join stays a pure partkey equijoin with the
+    disjunction applied as a post-join filter over broadcast-resident
+    part columns — pushing OR-of-ANDs into the join condition would
+    force a nested-loop; this shape keeps the hash join and lets the
+    per-clause size/quantity bounds prune early."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
+    qty = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50)
+           & qty.between(20, 30))
+    )
+    joined = li.join(F.broadcast(part),
+                     li.l_partkey == part.p_partkey).filter(clause)
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.agg(
+        F.round(F.sum(disc_c) / 100.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag <> 'R' AND (
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1314,6 +1557,11 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
     "events_asof_join": q_events_asof_join,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
@@ -1352,6 +1600,11 @@ ORACLES = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q19": SQL_TPCH_Q19,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,

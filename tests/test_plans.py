@@ -292,3 +292,39 @@ def test_kg_triangle_count_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q15_max_scalar_is_broadcast(spark):
+    """Q15's 'equal to the max revenue' comparison must ride a broadcast
+    of the 1-row aggregate against the per-supplier table — never a
+    cartesian or a driver collect."""
+    from kgmwcp.ops.relational import q_tpch_q15
+
+    plan = _plan(q_tpch_q15(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q17_threshold_join_no_cartesian(spark):
+    """Q17's correlated avg-quantity subquery must plan as a per-part
+    aggregate + equijoin back (integer threshold math), not a nested
+    re-scan per row."""
+    from kgmwcp.ops.relational import q_tpch_q17
+
+    plan = _plan(q_tpch_q17(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kg_edge_jaccard_no_cartesian(spark):
+    """Edge Jaccard must reuse the bounded triangle wedge join — the
+    naive per-center neighbor-pair generation (Σd² rows) would show up
+    as an extra join leg off the adjacency; cartesian/python are the
+    failure smells."""
+    from kgmwcp.ops.graph import q_kg_edge_jaccard
+
+    df = q_kg_edge_jaccard(spark, SF, materialize=False)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
