@@ -89,6 +89,22 @@ EXTENDED_OPS = [
     "kg_components_pipeline",
     "multimodal_patchify",
     "kg_degree_stats",
+    # round-6 ops
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "events_asof_join",
+    "kg_triangle_count",
+    "kg_clustering_coeff",
+    "kg_edge_jaccard",
 ]
 
 

@@ -48,8 +48,33 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["windowed_event_counts", "first_seen_entities",
-           "sessionized_events", "FIRST_SEEN_OUTPUT_SCHEMA",
-           "SESSION_OUTPUT_SCHEMA"]
+           "sessionized_events", "dedup_events_stream",
+           "FIRST_SEEN_OUTPUT_SCHEMA", "SESSION_OUTPUT_SCHEMA"]
+
+
+def dedup_events_stream(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the continuous twin of the batch
+    ``dedup_exact`` family for at-least-once upstream delivery (a
+    redelivered event carries the same event_id with the same event
+    time).  Uses the built-in ``dropDuplicatesWithinWatermark``: fully
+    JVM-side, and — unlike plain streaming ``dropDuplicates``, whose
+    key state grows forever — its per-key state is EVICTED once the
+    watermark passes the first-seen event time, so state tracks the
+    lateness horizon, not all ids ever seen.  That bounded-state
+    property is the whole design at 100 TB/day: ~horizon×rate keys
+    sharded across executors by event_id.
+
+    On a batch DataFrame this degrades to plain ``dropDuplicates`` on
+    the same key (the test compares drained-stream vs batch output)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return (
+        events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
 
 
 def windowed_event_counts(events: DataFrame,

@@ -371,3 +371,60 @@ def test_sessionized_events_late_event_merges_without_split(spark, tmp_path):
     mine = [(r["session_start"], r["session_end"], r["n_events"])
             for r in rows if r["user_id"] == 5]
     assert mine == [(ts(9, 50), ts(10, 25), 3)]  # ONE session, no split
+
+
+def test_dedup_events_stream_drops_redeliveries_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered event_ids — including
+    ones redelivered in a LATER micro-batch within the watermark horizon
+    — are dropped; output equals the batch dropDuplicates twin."""
+    import datetime
+
+    from kgmwcp.streaming.stateful import dedup_events_stream
+
+    def ts(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = tmp_path / "dedup_stream"
+    src.mkdir()
+    file1 = [
+        (1, ts(0, 0), 7, "click", 1.0, "{}"),
+        (2, ts(0, 10), 7, "view", 2.0, "{}"),
+        (2, ts(0, 10), 7, "view", 2.0, "{}"),   # in-batch duplicate
+        (3, ts(0, 20), 8, "click", 3.0, "{}"),
+    ]
+    file2 = [
+        (2, ts(0, 10), 7, "view", 2.0, "{}"),   # cross-batch redelivery
+        (4, ts(0, 40), 8, "purchase", 9.0, "{}"),
+        (3, ts(0, 20), 8, "click", 3.0, "{}"),  # cross-batch redelivery
+    ]
+    spark.createDataFrame(file1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(file2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+    # flatten: file source wants a directory of part files
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for sub in ("f1", "f2"):
+        for p in sorted((src / sub).glob("*.parquet")):
+            shutil.copy(p, flat / f"{sub}_{p.name}")
+            n += 1
+    assert n == 2
+
+    batch = spark.read.schema(schema).parquet(str(flat))
+    expected = {tuple(r) for r in dedup_events_stream(batch).collect()}
+    assert len(expected) == 4  # ids 1..4 exactly once
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)  # force two micro-batches
+              .parquet(str(flat)))
+    deduped = dedup_events_stream(stream)
+    q = (deduped.writeStream.format("memory").queryName("dedup_ev")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM dedup_ev").collect()}
+    assert got == expected
