@@ -248,10 +248,11 @@ edges AS (
 # hash-pinned by the pipeline_fixture_triples row) — so this row proves
 # extraction AND graph analytics compose end-to-end.
 
-def q_kg_pagerank_pipeline(spark, sf_dir):
-    from kgmwcp import fixtures
-
-    triples = fixtures.golden_pipeline_tables(spark)["triples"]
+def _rank_triples(triples):
+    """(subj, pred, obj) triples -> normalized pagerank — the ONE edge
+    mapping + projection shared by the pipeline and persisted-triples
+    forms (both must stay bit-identical for the shared unrolled-CTE
+    oracle to stay valid for both)."""
     fwd = triples.select(
         F.concat(F.lit("s:"), "subj").alias("src"),
         F.concat(F.lit("e:"), "pred", F.lit("//"), "obj").alias("dst"),
@@ -262,6 +263,12 @@ def q_kg_pagerank_pipeline(spark, sf_dir):
         "node",
         F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
     )
+
+
+def q_kg_pagerank_pipeline(spark, sf_dir):
+    from kgmwcp import fixtures
+
+    return _rank_triples(fixtures.golden_pipeline_tables(spark)["triples"])
 
 
 def _sql_kg_pagerank_pipeline() -> str:
@@ -293,17 +300,8 @@ def q_kg_pagerank_triples(spark, sf_dir):
     pagerank(), same unrolled-CTE oracle."""
     from kgmwcp.fixtures import golden_dir
 
-    triples = spark.read.parquet(f"{golden_dir()}/pipeline_triples.parquet")
-    fwd = triples.select(
-        F.concat(F.lit("s:"), "subj").alias("src"),
-        F.concat(F.lit("e:"), "pred", F.lit("//"), "obj").alias("dst"),
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges).select(
-        "node",
-        F.round(F.col("rank") * F.col("n_nodes"), 4).alias("rank_norm"),
-    )
+    return _rank_triples(
+        spark.read.parquet(f"{golden_dir()}/pipeline_triples.parquet"))
 
 
 # -- weighted PageRank (term-frequency edges) ---------------------------------
@@ -644,9 +642,14 @@ FROM deg GROUP BY 1, 2
 
 def _cooccur_tri(spark):
     """Co-occurrence projection + degree-oriented triangle enumeration;
-    returns (edges, deg, tri, oriented) with `oriented` PERSISTED — the
-    caller owns the unpersist.  Shared by triangle counts, clustering
-    coefficient and edge-Jaccard so the three ops stay one algorithm."""
+    returns (edges, deg, tri, handles) with `edges` AND `oriented`
+    PERSISTED (handles — the caller owns the unpersist via _finish).
+    Shared by triangle counts, clustering coefficient and edge-Jaccard
+    so the three ops stay one algorithm.  Both tables persist for the
+    same reason (the LSH-bands lesson): `edges` feeds the degree agg,
+    the orientation AND the ops' output joins — unpersisted, the
+    expensive co-occurrence self-join recomputes once per leg (review
+    finding); `oriented` feeds the three wedge-join legs."""
     from pyspark import StorageLevel
 
     from kgmwcp.fixtures import golden_dir
@@ -660,6 +663,7 @@ def _cooccur_tri(spark):
         .filter(F.col("a.ent") < F.col("b.ent"))
         .select(F.col("a.ent").alias("x"), F.col("b.ent").alias("y"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         edges.select(F.col("x").alias("node"))
@@ -687,26 +691,28 @@ def _cooccur_tri(spark):
         e1.join(e2, "a").filter(F.col("b") != F.col("c"))
         .join(e3, ["b", "c"])
     )
-    return edges, deg, tri, oriented
+    return edges, deg, tri, (edges, oriented)
 
 
-def _finish(counts, oriented, materialize):
+def _finish(counts, handles, materialize):
     """Shared persist lifecycle (mirrors pagerank): eagerly checkpoint
-    the small result and release the edge cache, or — for plan audits —
+    the small result and release the edge caches, or — for plan audits —
     keep the lazy plan and unpersist immediately (nothing evaluated)."""
     if materialize:
         from kgmwcp.ops.dedup import _free_labels
 
         counts = counts.localCheckpoint()
-        oriented.unpersist()
+        for h in handles:
+            h.unpersist()
         counts.kgmwcp_release = (lambda r=counts: _free_labels(r))
     else:
-        oriented.unpersist()
+        for h in handles:
+            h.unpersist()
     return counts
 
 
 def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
-    _, _, tri, oriented = _cooccur_tri(spark)
+    _, _, tri, handles = _cooccur_tri(spark)
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -714,7 +720,7 @@ def q_kg_triangle_count(spark, sf_dir, materialize: bool = True):
     )
     counts = corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
-    return _finish(counts, oriented, materialize)
+    return _finish(counts, handles, materialize)
 
 
 def _sql_tri_cte() -> str:
@@ -782,7 +788,7 @@ SELECT node, n_triangles FROM tri_counts
 # so the one rounded division is bit-identical across engines.
 
 def q_kg_clustering_coeff(spark, sf_dir, materialize: bool = True):
-    _, deg, tri, oriented = _cooccur_tri(spark)
+    _, deg, tri, handles = _cooccur_tri(spark)
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -801,7 +807,7 @@ def q_kg_clustering_coeff(spark, sf_dir, materialize: bool = True):
             .otherwise(F.lit(0.0)).alias("clustering_coeff"),
         )
     )
-    return _finish(out, oriented, materialize)
+    return _finish(out, handles, materialize)
 
 
 def _sql_kg_clustering_coeff() -> str:
@@ -817,7 +823,7 @@ FROM deg LEFT OUTER JOIN tri_counts tc ON deg.node = tc.node
 
 
 def q_kg_edge_jaccard(spark, sf_dir, materialize: bool = True):
-    edges, deg, tri, oriented = _cooccur_tri(spark)
+    edges, deg, tri, handles = _cooccur_tri(spark)
     # each triangle closes all three of its (undirected) edges once;
     # re-key the oriented corners back to the x<y edge identity
     pair = (
@@ -843,7 +849,7 @@ def q_kg_edge_jaccard(spark, sf_dir, materialize: bool = True):
             .otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
-    return _finish(out, oriented, materialize)
+    return _finish(out, handles, materialize)
 
 
 def _sql_kg_edge_jaccard() -> str:

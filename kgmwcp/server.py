@@ -291,9 +291,13 @@ def make_server(spark, host: str = "127.0.0.1", port: int = 0,
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             if download_name:
+                # the name derives from the user-supplied upload
+                # filename: quotes break the quoted-string and CR/LF
+                # would inject headers — strip all three (review finding)
+                safe = re.sub(r'["\r\n\\]', "_", download_name)
                 self.send_header(
                     "Content-Disposition",
-                    f'attachment; filename="{download_name}"')
+                    f'attachment; filename="{safe}"')
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)

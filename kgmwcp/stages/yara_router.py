@@ -180,21 +180,25 @@ def _parse_strings(section: str) -> Dict[str, _StringSpec]:
             mods = em.group(2).split()
         else:
             raise UnsupportedYara(f"unknown string form: {line!r}")
+        # collect the full modifier SET before applying: the one-pass
+        # version made 'ascii wide' order-dependent ('wide' clobbered
+        # ascii_=True set a token earlier — review finding)
+        mods_clean = []
         for mod in mods:
             mod = mod.strip()
             if not mod or mod.startswith("//"):
                 break
-            if mod == "nocase":
-                spec.nocase = True
-            elif mod == "wide":
-                spec.wide = True
-                spec.ascii_ = False
-            elif mod == "ascii":
-                spec.ascii_ = True
-                if "wide" in mods:
-                    spec.wide = True
-            else:
-                raise UnsupportedYara(f"string modifier {mod!r}")
+            mods_clean.append(mod)
+        unknown = [m for m in mods_clean
+                   if m not in ("nocase", "wide", "ascii")]
+        if unknown:
+            raise UnsupportedYara(f"string modifier {unknown[0]!r}")
+        spec.nocase = "nocase" in mods_clean
+        if "wide" in mods_clean:
+            # YARA: 'wide' alone matches only utf-16le; 'wide ascii' (in
+            # either order) matches both
+            spec.wide = True
+            spec.ascii_ = "ascii" in mods_clean
         specs[ident] = spec
     return specs
 
@@ -417,12 +421,30 @@ class _CondParser:
             if op not in ("==", "!="):
                 raise UnsupportedYara(f"uint comparison {op!r} (only ==/!=)")
             value = self._int()
+            if value >= (1 << (8 * width)):
+                # YARA: a uint8 can never equal 0x4142 — the comparison
+                # is statically false, not a truncated-byte match
+                # (review finding: struct.pack()[:width] silently
+                # truncated and matched the wrong files)
+                return (lambda c, p: F.lit(False)) if op == "==" else (
+                    # != an impossible value is true ONLY for a defined
+                    # read (YARA undefined-at-EOF semantics, below)
+                    lambda c, p: F.length(c) >= offset + width)
             magic = struct.pack("<I", value)[:width]  # little-endian, as YARA
+            # a read past EOF is UNDEFINED in YARA and makes the whole
+            # comparison false — for both == and !=.  F.substring on a
+            # short blob yields a short/empty slice, which would make
+            # ~eq() spuriously TRUE on truncated files (review finding),
+            # so both arms carry the defined-read guard.
+            defined = lambda c: F.length(c) >= offset + width  # noqa: E731
             eq = lambda c, p: (  # noqa: E731
-                F.substring(c, offset + 1, width) == F.lit(magic))
+                defined(c)
+                & (F.substring(c, offset + 1, width) == F.lit(magic)))
             if op == "==":
                 return eq
-            return lambda c, p: ~eq(c, p)
+            return lambda c, p: (
+                defined(c)
+                & (F.substring(c, offset + 1, width) != F.lit(magic)))
         if tok == "filesize":
             op = self.next()
             if op not in _CMPS:
@@ -439,8 +461,15 @@ class _CondParser:
 
 
 def _strip_comments(src: str) -> str:
-    """Remove // and /* */ comments, preserving string/regex literals."""
+    """Remove // and /* */ comments, preserving string/regex literals.
+
+    A ``/`` directly after ``=`` (the only place a YARA regex literal
+    can start in the subset we read: ``$r = /…/``) opens a regex
+    literal scanned to its unescaped closing ``/`` — otherwise a
+    pattern like ``/evil\\.com\\/*/`` would read as a block comment
+    opener and swallow every later rule in the file (review finding)."""
     out, i, n = [], 0, len(src)
+    prev = ""  # last non-whitespace char emitted
     while i < n:
         ch = src[i]
         if ch == '"':
@@ -448,6 +477,14 @@ def _strip_comments(src: str) -> str:
             while j < n and src[j] != '"':
                 j += 2 if src[j] == "\\" else 1
             out.append(src[i:j + 1])
+            prev = '"'
+            i = j + 1
+        elif ch == "/" and prev == "=":
+            j = i + 1
+            while j < n and src[j] != "/" and src[j] != "\n":
+                j += 2 if src[j] == "\\" else 1
+            out.append(src[i:j + 1])
+            prev = "/"
             i = j + 1
         elif ch == "/" and i + 1 < n and src[i + 1] == "/":
             while i < n and src[i] != "\n":
@@ -457,6 +494,8 @@ def _strip_comments(src: str) -> str:
             i = n if i < 0 else i + 2
         else:
             out.append(ch)
+            if not ch.isspace():
+                prev = ch
             i += 1
     return "".join(out)
 
@@ -505,6 +544,11 @@ def _compile_rule(name: str, body: str, source_file: str
     if not mm:
         return None  # reference ignores rules without mwcp meta
     parsers = [p.strip() for p in mm.group(1).split(",") if p.strip()]
+    if not parsers:
+        # mwcp = "" names no parser: nothing to route to — ignore like a
+        # missing meta (a [] would crash route_samples_yara on
+        # parsers[0] at plan build, review finding)
+        return None
     specs = _parse_strings(sections.get("strings", ""))
     cond_src = sections.get("condition", "").strip()
     if not cond_src:
@@ -552,6 +596,15 @@ def compile_yara_repo(yara_repo: str
             except UnsupportedYara as e:
                 logger.warning("[Skipping rule] %s (%s): %s", name, path, e)
                 skipped.append((name, str(e)))
+                continue
+            except (ValueError, struct.error) as e:
+                # malformed literals inside an otherwise-parsed rule
+                # (bad \xGG escape, uint value >= 2^32) must warn-and-
+                # skip like any other out-of-subset rule, not abort the
+                # whole repo compile (review finding)
+                logger.warning("[Skipping rule] %s (%s): malformed: %s",
+                               name, path, e)
+                skipped.append((name, f"malformed: {e}"))
                 continue
             if rule is not None:
                 compiled.append(rule)

@@ -53,8 +53,9 @@ def main():
             bad += 1
             if spark_cols != o_cols:
                 print(f"  spark cols: {spark_cols}\n  oracle cols: {o_cols}")
-            only_s = list(spark_set - o_set)[:3]
-            only_o = list(o_set - spark_set)[:3]
+            # _rowset returns sorted lists, not sets
+            only_s = [r for r in spark_set if r not in set(o_set)][:3]
+            only_o = [r for r in o_set if r not in set(spark_set)][:3]
             if only_s:
                 print(f"  only spark: {only_s}")
             if only_o:

@@ -403,3 +403,93 @@ rule Second {
     assert routed["a"] == ("WinnerParser", ["First", "Second"])
     assert routed["b"] == ("UserChoice", ["First", "Second"])  # input wins
     assert routed["c"] == (None, [])
+
+
+def test_review_fix_matrix(spark, tmp_path):
+    """Pins the r6 review findings: 'ascii wide' modifier order, uint
+    out-of-range compares, uint undefined-read-at-EOF semantics, empty
+    mwcp meta, regex literals containing comment-opener sequences, and
+    malformed-escape warn-and-skip."""
+    repo = tmp_path / "fixes"
+    repo.mkdir()
+    (repo / "fixes.yara").write_text(r"""
+rule AsciiWide {
+  meta:
+    mwcp = "P1"
+  strings:
+    $a = "MZ" ascii wide
+  condition:
+    $a
+}
+rule UintWide {
+  meta:
+    mwcp = "P2"
+  condition:
+    uint8(0) == 0x4142
+}
+rule NotMagic {
+  meta:
+    mwcp = "P3"
+  condition:
+    uint16(0) != 0x5A4D
+}
+rule EmptyMeta {
+  meta:
+    mwcp = ""
+  condition:
+    true
+}
+rule RegexSlashStar {
+  meta:
+    mwcp = "P4"
+  strings:
+    $r = /evil\.com\/*/
+  condition:
+    $r
+}
+rule AfterTheRegex {
+  meta:
+    mwcp = "P5"
+  strings:
+    $a = "sentinel"
+  condition:
+    $a
+}
+rule BadEscape {
+  meta:
+    mwcp = "P6"
+  strings:
+    $a = "\xGG"
+  condition:
+    $a
+}
+""")
+    rules, skipped = compile_yara_repo(str(repo))
+    by_name = {r.name: r for r in rules}
+    # EmptyMeta ignored (not compiled, not an error); BadEscape skipped
+    assert "EmptyMeta" not in by_name
+    assert {n for n, _ in skipped} == {"BadEscape"}
+    # the regex literal did not swallow the following rule
+    assert {"AsciiWide", "UintWide", "NotMagic", "RegexSlashStar",
+            "AfterTheRegex"} <= set(by_name)
+
+    cases = [
+        # 'ascii wide' in that order must match BOTH encodings
+        (b"xxMZxx", {"AsciiWide", "NotMagic"}),
+        ("yyMZyy".encode("utf-16-le"), {"AsciiWide", "NotMagic"}),
+        # uint8 == 0x4142 can never match (would truncate to 0x42)
+        (b"B" + b"\x00" * 8, {"NotMagic"}),
+        # uint16(0) != 0x5A4D: defined read required — a 1-byte file is
+        # an undefined read in YARA, so NotMagic must NOT match
+        (b"Z", set()),
+        # actual magic: uint16 != is false (but $a = "MZ" still hits)
+        (b"MZ" + b"\x00" * 8, {"AsciiWide"}),
+        (b"c2=evil.com/abc", {"RegexSlashStar", "NotMagic"}),
+        (b"a sentinel here", {"AfterTheRegex", "NotMagic"}),
+    ]
+    rows = [(f"f{i}", payload) for i, (payload, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "path string, content_bin binary")
+    routed = route_samples_yara(df, rules)
+    got = {r.path: set(r.sig_matches) for r in routed.collect()}
+    for i, (_, expect) in enumerate(cases):
+        assert got[f"f{i}"] == expect, f"case {i}: {got[f'f{i}']}"
