@@ -1203,9 +1203,104 @@ FROM ent
 """
 
 
+# -- bigram-novelty quality score ----------------------------------------------
+# The LM-style corpus-fit gate a training pipeline runs where a real
+# KenLM would be too heavy for a first pass: build the corpus's top-K
+# bigram vocabulary once, then score each doc by the fraction of its
+# bigrams NOT in the vocabulary (near-0 = boilerplate-ish corpus-typical
+# text, near-1 = gibberish/encoded blobs/foreign content).  Everything
+# is integer-exact (counts + one rounded division) so the DuckDB twin
+# hashes bit-identically — no log-prob float folds needed.  Scale shape:
+# the vocab is CAPPED at top-K (two-level row_number, no full-vocab
+# global sort — the corpus_ngram_counts pattern) and rides a broadcast
+# semi-probe against mapper-side doc bigrams; the only wide exchange is
+# the vocab count agg.  Tie-break (n DESC, bigram) is total, so the
+# vocab set is deterministic on both engines.
+
+_BIGRAM_VOCAB_K = 1000
+
+
+def q_text_bigram_novelty(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(_ws_tokens()).alias("pos", "raw")
+    ).select("doc_id", "pos", F.lower("raw").alias("tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1").alias("bigram"))
+    )
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w_local = Window.partitionBy(
+        F.substring(F.md5("bigram"), 1, 2)
+    ).orderBy(F.col("n").desc(), "bigram")
+    survivors = (
+        counts.withColumn("r1", F.row_number().over(w_local))
+        .filter(F.col("r1") <= _BIGRAM_VOCAB_K)
+        .drop("r1", "n")
+    )
+    w_global = Window.orderBy(F.col("n").desc(), "bigram")
+    vocab = (
+        counts.join(survivors, "bigram", "left_semi")
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= _BIGRAM_VOCAB_K)
+        .select("bigram")
+    )
+    scored = (
+        big.join(F.broadcast(vocab.withColumn("known", F.lit(1))),
+                 "bigram", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce("known", F.lit(0))).alias("n_known"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "n_known",
+        F.round((F.col("n_bigrams") - F.col("n_known"))
+                / F.col("n_bigrams"), 4).alias("novelty"),
+    )
+
+
+SQL_TEXT_BIGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)),
+                i -> lower(arr[i]) || ' ' || lower(arr[i + 1]))) AS bigram
+  FROM toks
+  WHERE len(arr) >= 2
+),
+counts AS (SELECT bigram, count(*) AS n FROM big GROUP BY bigram),
+vocab AS (
+  SELECT bigram FROM (
+    SELECT bigram,
+           row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+    FROM counts
+  ) WHERE rnk <= 1000
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       sum(CASE WHEN vocab.bigram IS NOT NULL THEN 1 ELSE 0 END) AS n_known,
+       round((count(*) - sum(CASE WHEN vocab.bigram IS NOT NULL
+                             THEN 1 ELSE 0 END)) * 1.0 / count(*), 4)
+         AS novelty
+FROM big LEFT OUTER JOIN vocab USING (bigram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_ngram_counts": q_corpus_ngram_counts,
+    "text_bigram_novelty": q_text_bigram_novelty,
     "text_entropy": q_text_entropy,
     "text_token_count": q_text_token_count,
     "text_chunking": q_text_chunking,
@@ -1231,6 +1326,7 @@ QUERIES = {
 ORACLES = {
     "text_gopher_quality": SQL_TEXT_GOPHER_QUALITY,
     "corpus_ngram_counts": SQL_CORPUS_NGRAM_COUNTS,
+    "text_bigram_novelty": SQL_TEXT_BIGRAM_NOVELTY,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_chunking": SQL_TEXT_CHUNKING,
