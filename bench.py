@@ -105,6 +105,12 @@ EXTENDED_OPS = [
     "kg_triangle_count",
     "kg_clustering_coeff",
     "kg_edge_jaccard",
+    "kg_adamic_adar",
+    "tpch_q2",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q22",
+    "text_bigram_novelty",
 ]
 
 

@@ -874,10 +874,81 @@ JOIN deg dy ON e.y = dy.node
 """
 
 
+def q_kg_adamic_adar(spark, sf_dir, materialize: bool = True):
+    """Adamic-Adar link strength per co-occurrence edge: over the common
+    neighbors w of (x, y), Σ 1/log2(deg(w)) — the classic link-
+    prediction weighting where a rare shared neighbor (a niche C2
+    config element) counts more than a ubiquitous one (a hub mutex).
+    Common neighbors of an EDGE are exactly the third corners of its
+    triangles, so this rides the same bounded wedge enumeration as
+    edge-Jaccard (never the Σd² per-center pair blow-up).  Determinism:
+    the float fold is ordered — per-edge corners sorted by w, Spark
+    F.aggregate left fold vs DuckDB list_reduce over list(ORDER BY w)
+    (0.0+t1 == t1 in IEEE — the text_entropy pattern), so the 4-dp
+    rounded score hashes bit-identically."""
+    edges, deg, tri, handles = _cooccur_tri(spark)
+    pairw = (
+        tri.select(F.least("a", "b").alias("x"),
+                   F.greatest("a", "b").alias("y"), F.col("c").alias("w"))
+        .unionAll(tri.select(F.least("a", "c").alias("x"),
+                             F.greatest("a", "c").alias("y"),
+                             F.col("b").alias("w")))
+        .unionAll(tri.select(F.least("b", "c").alias("x"),
+                             F.greatest("b", "c").alias("y"),
+                             F.col("a").alias("w")))
+    )
+    wdeg = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    scored = (
+        pairw.join(wdeg, "w")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.array_sort(F.collect_list(F.struct("w", "dw"))).alias("arr"),
+        )
+    )
+    aa = F.aggregate(
+        "arr", F.lit(0.0),
+        lambda acc, s: acc + 1.0 / F.log2(s["dw"].cast("double")))
+    scored = scored.select(
+        "x", "y", "common", F.round(aa, 4).alias("adamic_adar"))
+    out = (
+        edges.join(scored, ["x", "y"], "left_outer")
+        .select(
+            "x", "y",
+            F.coalesce("common", F.lit(0)).alias("common"),
+            F.coalesce("adamic_adar", F.lit(0.0)).alias("adamic_adar"),
+        )
+    )
+    return _finish(out, handles, materialize)
+
+
+def _sql_kg_adamic_adar() -> str:
+    return _sql_tri_cte() + """
+, pairw AS (
+  SELECT least(a, b) AS x, greatest(a, b) AS y, c AS w FROM tri
+  UNION ALL SELECT least(a, c), greatest(a, c), b FROM tri
+  UNION ALL SELECT least(b, c), greatest(b, c), a FROM tri
+),
+scored AS (
+  SELECT x, y, count(*) AS common,
+         round(list_reduce(
+           list_transform(list(d ORDER BY w),
+                          v -> 1.0 / log2(CAST(v AS DOUBLE))),
+           (p, q) -> p + q), 4) AS adamic_adar
+  FROM pairw JOIN deg ON w = node
+  GROUP BY x, y
+)
+SELECT e.x, e.y, coalesce(s.common, 0) AS common,
+       coalesce(s.adamic_adar, 0.0) AS adamic_adar
+FROM edges e LEFT OUTER JOIN scored s ON e.x = s.x AND e.y = s.y
+"""
+
+
 QUERIES = {
     "kg_triangle_count": q_kg_triangle_count,
     "kg_clustering_coeff": q_kg_clustering_coeff,
     "kg_edge_jaccard": q_kg_edge_jaccard,
+    "kg_adamic_adar": q_kg_adamic_adar,
     "kg_degree_stats": q_kg_degree_stats,
     "kg_components_pipeline": q_kg_components_pipeline,
     "kg_nodes_upsert": q_kg_nodes_upsert,
@@ -894,6 +965,7 @@ ORACLES = {
     "kg_triangle_count": _sql_kg_triangle_count,
     "kg_clustering_coeff": _sql_kg_clustering_coeff,
     "kg_edge_jaccard": _sql_kg_edge_jaccard,
+    "kg_adamic_adar": _sql_kg_adamic_adar,
     "kg_degree_stats": _sql_kg_degree_stats,
     "kg_components_pipeline": _sql_kg_components_pipeline,
     "kg_nodes_upsert": SQL_KG_NODES_UPSERT,

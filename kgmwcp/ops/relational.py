@@ -1541,6 +1541,213 @@ WHERE l_returnflag <> 'R' AND (
 """
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier, adapted: the driver schema has no
+    partsupp, so the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem and the cost proxy is
+    s_acctbal (lowest-balance supplier wins).  The correlated min
+    subquery plans as a per-part min + equijoin back (one shuffle over
+    the pair table); region/nation/supplier collapse into one broadcast
+    dim; the final top-20 is a TakeOrderedAndProject."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(
+            nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), ps.l_suppkey == sup.s_suppkey)
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("s_acctbal").alias("min_bal"))
+    return (
+        cand.join(best, (cand.p_partkey == best.pk)
+                  & (cand.s_acctbal == best.min_bal))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sup AS (
+  SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, s_acctbal
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN sup ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+),
+best AS (SELECT p_partkey AS pk, min(s_acctbal) AS min_bal
+         FROM cand GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cand JOIN best ON p_partkey = pk AND s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 supplier-count by part attributes, adapted (partsupp :=
+    distinct lineitem pairs; the complaints exclusion keys on
+    s_acctbal < 0 — no comment column).  Shape: the exclusion is a
+    broadcast ANTI join BEFORE the count-distinct shuffle; the group key
+    (brand, type, size) is low-cardinality so the distinct-count
+    aggregate collapses map-side."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+    )
+    return (
+        kept.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20 excess-stock suppliers, adapted: suppliers who shipped more
+    than 100 units of 'red' parts in 1996 (the availqty comparison has
+    no partsupp to read).  Shape: the heavy aggregate (per-supplier
+    quantity over the filtered fact) runs FIRST, the HAVING filter
+    shrinks it to a handful of keys, and supplier joins via LEFT SEMI —
+    the same agg-before-join order as q18.  Quantity sums are integral
+    longs — exact."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("red_qty"))
+        .filter(F.col("red_qty") > 100)
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey)
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "red_qty")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH heavy AS (
+  SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS red_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 100
+)
+SELECT s_suppkey, s_name, red_qty
+FROM supplier JOIN heavy ON s_suppkey = l_suppkey
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22 global-sales-opportunity, adapted: 'country code' is
+    c_nationkey (no phone column).  Customers in a nation set with
+    above-average positive balance and no RECENT orders (every
+    synthetic customer has some order, so the dormancy test keys on the
+    last half-year — same anti-join shape, nonzero selectivity).  The
+    shape that
+    matters: the average is an aggregate-of-scalars broadcast back (no
+    collect), the no-orders test is a LEFT ANTI join on custkey, and —
+    determinism — the above-average comparison is INTEGER math:
+    bal_cents·count > sum_cents, because a float avg's summation order
+    flips boundary customers between engines (the q17 lesson)."""
+    nations = (1, 2, 3, 11, 12, 13, 21)
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*nations)
+    ).select("c_custkey", "c_nationkey",
+             _cents(F.col("c_acctbal")).alias("bal_c"))
+    pos = cust.filter(F.col("bal_c") > 0)
+    avg_t = pos.agg(F.sum("bal_c").alias("sum_c"),
+                    F.count(F.lit(1)).alias("n_pos"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = (
+        cust.crossJoin(F.broadcast(avg_t))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("bal_c") / 100.0, 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN (1, 2, 3, 11, 12, 13, 21)
+),
+avg_t AS (
+  SELECT sum(bal_c) AS sum_c, count(*) AS n_pos
+  FROM cust WHERE bal_c > 0
+)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(bal_c) / 100.0, 2) AS totacctbal
+FROM cust, avg_t
+WHERE bal_c * n_pos > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1562,6 +1769,10 @@ QUERIES = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q22": q_tpch_q22,
     "events_asof_join": q_events_asof_join,
     "events_windowed": q_events_windowed,
     "dedup_mentions": q_dedup_mentions,
@@ -1605,6 +1816,10 @@ ORACLES = {
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q17": SQL_TPCH_Q17,
     "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q22": SQL_TPCH_Q22,
     "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "dedup_mentions": SQL_DEDUP_MENTIONS,

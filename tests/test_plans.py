@@ -328,3 +328,36 @@ def test_kg_edge_jaccard_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q16_exclusion_is_anti_join(spark):
+    """Q16's NOT IN supplier exclusion must plan as a broadcast ANTI
+    join before the count-distinct — a correlated re-probe or cartesian
+    would dominate at fact scale."""
+    from kgmwcp.ops.relational import q_tpch_q16
+
+    plan = _plan(q_tpch_q16(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_integer_avg_and_anti_join(spark):
+    """Q22: the above-average test is a broadcast 1-row scalar (no
+    collect) and the dormancy test a LEFT ANTI join."""
+    from kgmwcp.ops.relational import q_tpch_q22
+
+    plan = _plan(q_tpch_q22(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kg_adamic_adar_no_cartesian(spark):
+    """Adamic-Adar rides the bounded wedge enumeration — equijoins
+    only, no python."""
+    from kgmwcp.ops.graph import q_kg_adamic_adar
+
+    df = q_kg_adamic_adar(spark, SF, materialize=False)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
