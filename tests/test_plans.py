@@ -361,3 +361,15 @@ def test_kg_adamic_adar_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q8_dims_broadcast(spark):
+    """Q8's part/supplier/nation dims must ride broadcast hash joins
+    (they are filtered before broadcast); the region membership is a
+    semi join — no cartesian anywhere."""
+    from kgmwcp.ops.relational import q_tpch_q8
+
+    plan = _plan(q_tpch_q8(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
