@@ -493,3 +493,42 @@ rule BadEscape {
     got = {r.path: set(r.sig_matches) for r in routed.collect()}
     for i, (_, expect) in enumerate(cases):
         assert got[f"f{i}"] == expect, f"case {i}: {got[f'f{i}']}"
+
+
+def test_compile_never_crashes_on_arbitrary_text(tmp_path):
+    """The repo-compile contract: ANY file content either compiles,
+    is ignored (no mwcp meta), or warn-and-skips — never an uncaught
+    exception (the review found ValueError/struct.error escapes).
+    Hypothesis fuzzes both rule-shaped and arbitrary text."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    repo = tmp_path / "fuzz"
+    repo.mkdir()
+    path = repo / "f.yara"
+
+    rule_tmpl = st.builds(
+        lambda name, s, mods, cond: (
+            f'rule R{name} {{\n  meta:\n    mwcp = "P"\n  strings:\n'
+            f'    $a = "{s}" {mods}\n  condition:\n    {cond}\n}}\n'),
+        st.integers(0, 999),
+        st.text(alphabet=st.characters(codec="ascii"), max_size=12),
+        st.sampled_from(["", "nocase", "wide", "ascii wide", "xor",
+                         "\\x", "base64"]),
+        st.sampled_from(["$a", "$a at 4", "any of them", "not $a",
+                         "uint8(0) == 0x4142", "uint32(2) != 99999999999",
+                         "filesize < 10 and $a", "$a or (", "1 of them"]),
+    )
+    blob = st.one_of(rule_tmpl, st.text(max_size=200))
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(blob)
+    def run(text):
+        path.write_text(text, errors="replace")
+        rules, skipped = compile_yara_repo(str(repo))
+        assert isinstance(rules, list) and isinstance(skipped, list)
+        for r in rules:
+            assert r.parsers  # a compiled rule always routes somewhere
+
+    run()
