@@ -111,6 +111,7 @@ EXTENDED_OPS = [
     "tpch_q20",
     "tpch_q22",
     "text_bigram_novelty",
+    "dedup_lsh_precision",
 ]
 
 

@@ -179,6 +179,83 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return pairs
 
 
+def q_dedup_lsh_precision(spark, sf_dir):
+    """LSH candidate VERIFICATION — the measure-don't-guess stage of the
+    near-dup pipeline: every minhash-LSH candidate pair gets its EXACT
+    shingle-set Jaccard computed by joining the pair back to the
+    (distinct) shingle table, plus a confirmed-at-0.5 verdict.  This is
+    how a production dedup decides what to actually drop (LSH candidates
+    are probabilistic; the drop list must not be).  Scale shape: the
+    exact computation is bounded by |candidates|·shingles-per-doc — it
+    touches ONLY candidate pairs, never all pairs; the common-shingle
+    count is an equijoin on (doc, shingle), and every ratio is exact
+    integers divided once."""
+    docs = _docs(spark, sf_dir)
+    cands = q_dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles_exploded(docs).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("nb"))
+    out = (
+        cands.join(common, ["doc_a", "doc_b"], "left_outer")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(na, "doc_a").join(nb, "doc_b")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return out.select(
+        "doc_a", "doc_b", "n_common",
+        F.round(jac, 4).alias("exact_jaccard"),
+        (jac >= 0.5).alias("confirmed"),
+    )
+
+
+def _sql_dedup_lsh_precision() -> str:
+    return _sql_bands_prefix() + f"""
+, bands AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands_raw
+  ) WHERE bc <= {_BAND_CAP}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM exploded),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+com AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, coalesce(com.n_common, 0) AS n_common,
+       round(coalesce(com.n_common, 0) * 1.0
+             / (na.n_sh + nb.n_sh - coalesce(com.n_common, 0)), 4)
+         AS exact_jaccard,
+       coalesce(com.n_common, 0) * 1.0
+         / (na.n_sh + nb.n_sh - coalesce(com.n_common, 0)) >= 0.5
+         AS confirmed
+FROM cands c
+LEFT OUTER JOIN com ON c.doc_a = com.doc_a AND c.doc_b = com.doc_b
+JOIN sizes na ON c.doc_a = na.doc_id
+JOIN sizes nb ON c.doc_b = nb.doc_id
+"""
+
+
 def _sql_bands_prefix() -> str:
     """Shared CTE chain: documents → shingles → minhash sig → bands_raw."""
     mins = ",\n         ".join(
@@ -1046,6 +1123,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "text_boilerplate_frac": q_text_boilerplate_frac,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_precision": q_dedup_lsh_precision,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_cluster": q_dedup_cluster,
@@ -1062,6 +1140,7 @@ ORACLES = {
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_lsh_precision": _sql_dedup_lsh_precision(),
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
