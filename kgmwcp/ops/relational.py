@@ -733,10 +733,20 @@ def _cents(col):
     return F.round(col * 100).cast("long")
 
 
+def _ts(s: str):
+    """Timestamp literal (every TPC-H date filter uses this form)."""
+    return F.lit(s).cast("timestamp")
+
+
+def _disc():
+    """The discounted-price expression shared by most TPC-H revenues."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        F.col("l_shipdate") <= _ts("1998-09-02"))
+    disc = _disc()
     charge = disc * (1 + F.col("l_tax"))
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
@@ -788,12 +798,12 @@ FROM agg
 
 
 def q_tpch_q3(spark, sf_dir):
-    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cutoff = _ts("1998-03-15")
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _disc()
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -848,8 +858,8 @@ def q_tpch_q5(spark, sf_dir):
     The c_nationkey = s_nationkey "local supplier" predicate rides the
     broadcast join condition.  Money in exact cents like Q1/Q3 (cent
     sums are order-independent; naive double sums diverge past 4 dp)."""
-    cutlo = F.lit("1996-01-01").cast("timestamp")
-    cuthi = F.lit("1997-01-01").cast("timestamp")
+    cutlo = _ts("1996-01-01")
+    cuthi = _ts("1997-01-01")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     supplier = _t(spark, sf_dir, "supplier")
@@ -868,7 +878,7 @@ def q_tpch_q5(spark, sf_dir):
     cust_orders = orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).select("o_orderkey", "c_nationkey")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _disc()
     joined = (
         li.join(cust_orders, li.l_orderkey == cust_orders.o_orderkey)
         .join(
@@ -908,8 +918,8 @@ def q_tpch_q6(spark, sf_dir):
     predicate set pushes down to the parquet scan (asserted in
     test_plans) — one row out, zero joins, money in exact cents."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
@@ -942,8 +952,8 @@ def q_tpch_q4(spark, sf_dir):
     sides shuffle on orderkey once; the quarter filter pushes to the
     orders scan so the semi-join's build side is already pruned."""
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01")))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     sel = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
     return (
@@ -992,10 +1002,10 @@ def q_tpch_q7(spark, sf_dir):
         .select("c_custkey", "cust_nation")
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01")))
     orders = _t(spark, sf_dir, "orders")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _disc()
     joined = (
         li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1055,7 +1065,7 @@ def q_tpch_q9(spark, sf_dir):
         .select("s_suppkey", "n_name")
     )
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _disc()
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup_dim), li.l_suppkey == sup_dim.s_suppkey)
@@ -1092,14 +1102,14 @@ def q_tpch_q10(spark, sf_dir):
     100 TB customer is fact-sized — never broadcast); nation rides
     broadcast; the top-20 is a TakeOrderedAndProject (per-partition
     heap + driver merge of 20-row heads), never a full sort."""
-    cutlo = F.lit("1996-01-01").cast("timestamp")
-    cuthi = F.lit("1996-04-01").cast("timestamp")
+    cutlo = _ts("1996-01-01")
+    cuthi = _ts("1996-04-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi))
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _disc()
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -1147,10 +1157,10 @@ def q_tpch_q14(spark, sf_dir):
     smaller-by-orders-of-magnitude side even at 100 TB after column
     pruning to (partkey, type))."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01")))
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    disc_c = _cents(_disc())
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", disc_c).otherwise(F.lit(0)))
@@ -1331,9 +1341,9 @@ def q_tpch_q8(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
-    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01")))
+    disc_c = _cents(_disc())
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -1423,9 +1433,9 @@ def q_tpch_q15(spark, sf_dir):
     sides of the comparison from one shuffle via plan reuse).  Revenue
     is exact cents so 'equal to max' is bit-exact on both engines."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
-    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01")))
+    disc_c = _cents(_disc())
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(disc_c).alias("total_revenue_c"))
     top = revenue0.agg(F.max("total_revenue_c").alias("max_c"))
@@ -1520,7 +1530,7 @@ def q_tpch_q19(spark, sf_dir):
     )
     joined = li.join(F.broadcast(part),
                      li.l_partkey == part.p_partkey).filter(clause)
-    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    disc_c = _cents(_disc())
     return joined.agg(
         F.round(F.sum(disc_c) / 100.0, 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"))
@@ -1661,8 +1671,8 @@ def q_tpch_q20(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(
         F.col("p_name").like("%red%")).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01")))
     heavy = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
@@ -1713,7 +1723,7 @@ def q_tpch_q22(spark, sf_dir):
     avg_t = pos.agg(F.sum("bal_c").alias("sum_c"),
                     F.count(F.lit(1)).alias("n_pos"))
     orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+        F.col("o_orderdate") >= _ts("2000-07-01")
     ).select("o_custkey")
     rich = (
         cust.crossJoin(F.broadcast(avg_t))
