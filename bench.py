@@ -112,6 +112,8 @@ EXTENDED_OPS = [
     "tpch_q22",
     "text_bigram_novelty",
     "dedup_lsh_precision",
+    "corpus_length_gini",
+    "events_path_trigrams",
 ]
 
 

@@ -1758,8 +1758,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_path_trigrams(spark, sf_dir):
+    """Behavioral path mining: the most common 3-step event-type
+    transitions across user journeys (the funnel-discovery primitive —
+    funnels assert a known path, this finds the paths worth asserting).
+    Shape: ONE shuffle (user_id for the ordering window), trigram
+    formation via two leads — no self-joins — then a low-cardinality
+    count (|types|³ keys) that collapses map-side.  Tie-break (n DESC,
+    trigram) totalizes the top-20."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(F.concat_ws(">", "event_type", "t1", "t2").alias("trigram"))
+    )
+    return (
+        tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )
+
+
+SQL_EVENTS_PATH_TRIGRAMS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t1 || '>' || t2 AS trigram, count(*) AS n
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "events_path_trigrams": q_events_path_trigrams,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
@@ -1807,6 +1848,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_path_trigrams": SQL_EVENTS_PATH_TRIGRAMS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,

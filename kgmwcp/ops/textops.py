@@ -1297,10 +1297,61 @@ GROUP BY doc_id
 """
 
 
+# -- corpus length-imbalance (Gini) --------------------------------------------
+# The mixture-health diagnostic a training pipeline tracks per source:
+# Gini of the document-length distribution (0 = uniform, →1 = a few
+# huge docs dominate the token budget).  Exact integer form: with
+# lengths sorted ascending and ranked 1..n per lang,
+#   G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+# — numerator and denominator are exact int64 sums (rank·length), so
+# the single rounded division is engine-portable with NO float folds.
+# Ties in length are rank-broken by doc_id on both engines so the rank
+# assignment (and hence Σ i·x_i) is identical.  Scale: one sort per
+# lang partition — the definitional cost of an order statistic; langs
+# shard independently.
+
+def q_corpus_length_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.length("text").alias("x"))
+    w = Window.partitionBy("lang").orderBy("x", "doc_id")
+    ranked = docs.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("sum_ix"),
+    )
+    gini = (2 * F.col("sum_ix") - (F.col("n") + 1) * F.col("sum_x")) \
+        / (F.col("n") * F.col("sum_x"))
+    return agg.select(
+        "lang", "n", F.col("sum_x").alias("total_chars"),
+        F.round(gini, 4).alias("length_gini"))
+
+
+SQL_CORPUS_LENGTH_GINI = """
+WITH ranked AS (
+  SELECT lang, length(text) AS x,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY length(text), doc_id) AS i
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n, sum(x) AS sum_x, sum(i * x) AS sum_ix
+  FROM ranked GROUP BY lang
+)
+SELECT lang, n, sum_x AS total_chars,
+       round((2 * sum_ix - (n + 1) * sum_x) * 1.0 / (n * sum_x), 4)
+         AS length_gini
+FROM agg
+"""
+
+
 QUERIES = {
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_ngram_counts": q_corpus_ngram_counts,
     "text_bigram_novelty": q_text_bigram_novelty,
+    "corpus_length_gini": q_corpus_length_gini,
     "text_entropy": q_text_entropy,
     "text_token_count": q_text_token_count,
     "text_chunking": q_text_chunking,
@@ -1327,6 +1378,7 @@ ORACLES = {
     "text_gopher_quality": SQL_TEXT_GOPHER_QUALITY,
     "corpus_ngram_counts": SQL_CORPUS_NGRAM_COUNTS,
     "text_bigram_novelty": SQL_TEXT_BIGRAM_NOVELTY,
+    "corpus_length_gini": SQL_CORPUS_LENGTH_GINI,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_chunking": SQL_TEXT_CHUNKING,
