@@ -373,3 +373,27 @@ def test_tpch_q8_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_lsh_precision_no_cartesian(spark):
+    """The exact-Jaccard verify must touch only candidate pairs: the
+    common-shingle count is an equijoin on (doc, shingle) — cartesian
+    or python here would be the all-pairs blow-up the op exists to
+    avoid."""
+    from kgmwcp.ops.dedup import q_dedup_lsh_precision
+
+    plan = _plan(q_dedup_lsh_precision(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_events_path_trigrams_single_exchange(spark):
+    """Path mining costs exactly ONE hash shuffle (user_id window);
+    the trigram count collapses map-side (no second wide exchange on
+    the raw rows) and the top-20 is a TakeOrderedAndProject."""
+    from kgmwcp.ops.relational import q_events_path_trigrams
+
+    plan = _plan(q_events_path_trigrams(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + count agg
+    assert "BatchEvalPython" not in plan
