@@ -114,6 +114,7 @@ EXTENDED_OPS = [
     "dedup_lsh_precision",
     "corpus_length_gini",
     "events_path_trigrams",
+    "events_rfm",
 ]
 
 

@@ -1798,9 +1798,75 @@ GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
 """
 
 
+def q_events_rfm(spark, sf_dir):
+    """RFM segmentation (recency/frequency/monetary) over purchase
+    events — the classic user-value rollup.  Recency is exact integer
+    days vs the corpus max timestamp (a broadcast 1-row scalar, no
+    collect); monetary is cent-exact; the quartile assignment uses
+    ntile(4) over a TOTAL order (metric + user_id tie-break) so bucket
+    edges are deterministic on both engines.  One shuffle (user_id
+    agg); the ntile windows are unpartitioned but run over the already-
+    tiny per-user rollup, not the fact table."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents(F.col("value"))).alias("monetary_c"),
+    )
+    maxts = ev.agg(F.max("ts").alias("corpus_max"))
+    base = per_user.crossJoin(F.broadcast(maxts)).select(
+        "user_id",
+        # parquet yields TIMESTAMP_NTZ; unix_micros wants TIMESTAMP
+        ((F.unix_micros(F.col("corpus_max").cast("timestamp"))
+          - F.unix_micros(F.col("last_ts").cast("timestamp")))
+         / F.lit(86_400_000_000)).cast("long").alias("recency_days"),
+        "frequency",
+        F.round(F.col("monetary_c") / 100.0, 2).alias("monetary"),
+        "monetary_c",
+    )
+    w_r = Window.orderBy("recency_days", "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary_c").desc(), "user_id")
+    return base.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
+
+
+SQL_EVENTS_RFM = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+         sum(CAST(round(value * 100) AS BIGINT)) AS monetary_c
+  FROM p GROUP BY 1
+),
+base AS (
+  SELECT user_id,
+         -- // (floor division): DuckDB's CAST(x AS BIGINT) rounds to
+         -- nearest while Spark's long cast truncates — a 0.9-day gap
+         -- must be 0 days on both engines
+         (epoch_us((SELECT max(ts) FROM p)) - epoch_us(last_ts))
+           // 86400000000 AS recency_days,
+         frequency,
+         round(monetary_c / 100.0, 2) AS monetary,
+         monetary_c
+  FROM per_user
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+       ntile(4) OVER (ORDER BY monetary_c DESC, user_id) AS m_quartile
+FROM base
+"""
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_path_trigrams": q_events_path_trigrams,
+    "events_rfm": q_events_rfm,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
@@ -1849,6 +1915,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_path_trigrams": SQL_EVENTS_PATH_TRIGRAMS,
+    "events_rfm": SQL_EVENTS_RFM,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
