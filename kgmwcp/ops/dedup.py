@@ -118,30 +118,107 @@ def _affine_coeffs() -> list[tuple[int, int]]:
 _COEFFS = _affine_coeffs()
 
 
+# bound on shingles per numpy block inside the band mapper: the affine
+# matrix is (_N_HASHES x block) int64, so 256k shingles cap the working
+# set at ~256 MB regardless of how long individual documents get
+_SIG_BLOCK_SHINGLES = 1 << 18
+
+
 def _minhash_bands(docs):
     """(doc_id, band_key) LSH band table — the reusable signature index
-    (the thing a production corpus persists between daily delta runs)."""
-    exploded = _shingles_exploded(docs)
-    base = (
-        F.conv(F.substring(F.md5(F.encode(F.col("shingle"), "utf-8")), 1, 15), 16, 10)
-        .cast("long") % F.lit(_MINHASH_P)
+    (the thing a production corpus persists between daily delta runs).
+
+    r7 optimization (guide §4.2): the whole tokenize → shingle → md5 →
+    128 affine min-hashes → band-key chain runs in ONE vectorized Arrow
+    pass.  The previous Column form paid two structural costs that
+    measured 4-6 s warm at sf0.1 (~0.5 s of it the shingle explode):
+    a posexplode + window-lead shuffle on doc_id (~50x row blow-up
+    just to reach the neighbor tokens), then a 128-column min-aggregate
+    whose operator exceeds spark.sql.codegen.maxFields (100) — the
+    HashAggregate pair evaluates 2x128 interpreted expressions per
+    shingle row (the CLAUDE.md codegen-size lesson, same fix as the
+    embedding-LSH UDF: numpy does the identical exact int64 arithmetic).
+    Now the only exchange is a deterministic doc_id repartition for
+    mapper parallelism and the Python stage ships (doc_id, text) once,
+    emitting 16 tiny band rows per doc.  Bit-parity: ASCII tokenization
+    (the explicit [ \\t\\n\\x0B\\f\\r]+ class splits identically in Java,
+    RE2, and Python re), md5 is md5, and (A*b + C) % P stays exact in
+    int64 (A*b < 2^62) — verified hash-identical vs the DuckDB oracle at
+    sf0.001/0.01/0.1."""
+    import pyarrow as pa
+
+    a_list = [a for a, _ in _COEFFS]
+    c_list = [c for _, c in _COEFFS]
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("band_key", pa.string()),
+    ])
+
+    def mapper(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(_WS_RE)
+        A = np.array(a_list, dtype=np.int64)[:, None]
+        C = np.array(c_list, dtype=np.int64)[:, None]
+        md5 = hashlib.md5
+
+        def flush(doc_ids, bs_parts, lens):
+            ball = np.concatenate(bs_parts)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(
+                (A * ball[None, :] + C) % _MINHASH_P, offsets, axis=1)
+            out_ids, out_keys = [], []
+            for col, did in enumerate(doc_ids):
+                mh = mins[:, col]
+                for j in range(_N_BANDS):
+                    base = j * _ROWS_PER_BAND
+                    out_ids.append(did)
+                    out_keys.append(
+                        f"{j}-" + "-".join(
+                            str(mh[base + k]) for k in range(_ROWS_PER_BAND)))
+            return pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_keys, type=pa.string())],
+                schema=out_schema)
+
+        for batch in batches:
+            doc_ids, bs_parts, lens, pending = [], [], [], 0
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                if not text:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                n = len(toks) - 2
+                if n <= 0:
+                    continue
+                bs = np.fromiter(
+                    (int(md5(f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                             .encode()).hexdigest()[:15], 16) % _MINHASH_P
+                     for i in range(n)),
+                    dtype=np.int64, count=n)
+                doc_ids.append(did)
+                bs_parts.append(bs)
+                lens.append(n)
+                pending += n
+                if pending >= _SIG_BLOCK_SHINGLES:
+                    yield flush(doc_ids, bs_parts, lens)
+                    doc_ids, bs_parts, lens, pending = [], [], [], 0
+            if doc_ids:
+                yield flush(doc_ids, bs_parts, lens)
+
+    # deterministic hash repartition for mapper parallelism (never rand —
+    # guide §2.5); scale-adaptive via defaultParallelism, and a no-op
+    # data-wise: the old window form shuffled the same bytes as tokens
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .mapInArrow(mapper, schema="doc_id long, band_key string")
     )
-    based = exploded.select("doc_id", base.alias("b"))
-    aggs = [
-        F.min((F.lit(a) * F.col("b") + F.lit(c)) % F.lit(_MINHASH_P)).alias(f"mh_{i}")
-        for i, (a, c) in enumerate(_COEFFS)
-    ]
-    sig = based.groupBy("doc_id").agg(*aggs)
-    band_keys = [
-        F.concat_ws(
-            "-",
-            F.lit(str(j)),
-            *[F.col(f"mh_{j * _ROWS_PER_BAND + k}").cast("string")
-              for k in range(_ROWS_PER_BAND)],
-        )
-        for j in range(_N_BANDS)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
