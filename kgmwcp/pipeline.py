@@ -132,20 +132,32 @@ class Pipeline:
         return self.tables_from_records(records)
 
     def tables_from_records(self, records: DataFrame) -> Dict[str, DataFrame]:
+        # Link-stage map-task sizing (r7, guide §2.2): the extract stage
+        # fans out to extract_partitions (cpus*3 in the bench) so python
+        # blob work balances, but carrying that fan-out into every
+        # downstream shuffle multiplies the M x R block count — with M=96
+        # map tasks each link aggregate measured ~3x the CPU of M=32 on
+        # identical rows (fixed per-task + per-block shuffle-write cost).
+        # coalesce() is a narrow op (no shuffle, reads N cached partitions
+        # per task) and never increases the partition count, so small
+        # inputs collapse to one task per core and real clusters keep
+        # their scan parallelism.
+        k = records.sparkSession.sparkContext.defaultParallelism
+        linked = records.coalesce(k)
         tables = {
             "records": records,
             "mentions": mentions_of(records),
             "files": files_of(records),
-            "triples": triples_of(records),
-            "nodes": nodes_of(records, salt_buckets=self.config.salt_buckets),
-            "edges": edges_of(records),
+            "triples": triples_of(linked),
+            "nodes": nodes_of(linked, salt_buckets=self.config.salt_buckets),
+            "edges": edges_of(linked),
             "reports": reports_of(
-                records, external_knowledge=self.config.knowledge_base,
+                linked, external_knowledge=self.config.knowledge_base,
                 include_file_data=self.config.include_file_data),
-            "stix": stix_bundles_of(records),
+            "stix": stix_bundles_of(linked),
         }
         if self.config.emit_file_data:
-            tables["residuals"] = self.residuals_of(records)
+            tables["residuals"] = self.residuals_of(linked)
         return tables
 
     @staticmethod

@@ -122,26 +122,36 @@ def entities_of(records: DataFrame) -> DataFrame:
 def nodes_of(records: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Canonical entity table (SURVEY.md R5 + R17).
 
-    Two-phase salted aggregation: phase 1 groups on (entity_id, salt) so a
-    hot entity (e.g. one mutex shared by millions of samples) spreads over
-    ``salt_buckets`` reducers; phase 2 merges the partials.  max_by(payload,
-    length) keeps the richest serialization, mirroring the STIX writer's
-    longest-serialization dedupe (mwcp/stix/report_writer.py:142-150).
-    n_samples is exact: dedupe (entity_id, subj) first, then count.
-    Ties on payload length break lexicographically (max (length, value)
+    Two-phase aggregation keyed (entity_id, subj) then entity_id —
+    the minimal-shuffle plan for these semantics (r7, guide §2.4): the
+    former shape (salted partial + merge + a separate dedupe/count/join
+    branch for n_samples) spent 4 exchanges and a sort-merge join; this
+    one spends exactly 2 exchanges and no join.  Skew: phase 1's key
+    carries ``subj``, which spreads a hot entity (one mutex mentioned by
+    millions of samples) over the full reducer space — strictly wider
+    than the old crc32(subj)%%16 salt — and phase 2 receives the hot
+    entity as a GROUP key, which map-side partial aggregation reduces to
+    one row per map task before the exchange (a hot aggregate key is not
+    a hot join key).  ``salt_buckets`` is kept for config compatibility;
+    subj itself now plays the salt role.  max_by(payload, length) keeps
+    the richest serialization, mirroring the STIX writer's
+    longest-serialization dedupe (mwcp/stix/report_writer.py:142-150);
+    ties on payload length break lexicographically (max (length, value)
     struct) so the picked payload is deterministic across partitionings —
     required for the golden-parquet oracle compare (kgmwcp/goldens.py).
+    n_mentions (sum of per-subj counts) and n_samples (count of
+    (entity_id, subj) groups) are exact; max/first are associative /
+    constant per entity, so the output rows are bit-identical to the
+    old plan's.
     """
     ent = entities_of(records)
-    salt = F.pmod(F.crc32(F.col("subj")), F.lit(salt_buckets)).cast("int")
 
     def _richest(col: str):
         return F.max_by(
             col, F.struct(F.length(col).alias("l"), F.col(col).alias("v")))
 
-    partial = (
-        ent.withColumn("salt", salt)
-        .groupBy("entity_id", "salt")
+    per_subj = (
+        ent.groupBy("entity_id", "subj")
         .agg(
             F.first("pred").alias("entity_kind"),
             F.first("canonical_value").alias("canonical_value"),
@@ -149,17 +159,13 @@ def nodes_of(records: DataFrame, salt_buckets: int = 16) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
-    merged = partial.groupBy("entity_id").agg(
+    return per_subj.groupBy("entity_id").agg(
         F.first("entity_kind").alias("entity_kind"),
         F.first("canonical_value").alias("canonical_value"),
         _richest("payload").alias("payload"),
         F.sum("cnt").alias("n_mentions"),
-    )
-    per_sample = (
-        ent.select("entity_id", "subj").dropDuplicates(["entity_id", "subj"])
-        .groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_samples"))
-    )
-    return merged.join(per_sample, "entity_id", "left").select(
+        F.count(F.lit(1)).alias("n_samples"),
+    ).select(
         "entity_id", "entity_kind", "canonical_value", "payload",
         "n_mentions", "n_samples",
     )
