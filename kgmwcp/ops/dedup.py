@@ -44,31 +44,50 @@ FROM documents GROUP BY md5(text)
 
 # -- shingles helper -------------------------------------------------------------
 
-# word 3-gram shingles via posexplode + window lead: fully codegen'd and
-# ~20x faster than interpreted higher-order-function lambdas (measured at
-# sf0.1: 1.2s vs 26s) — HOF transform/filter chains evaluate per-element
-# in the interpreter and don't vectorize.
-def _shingles_exploded(docs):
-    from pyspark.sql import Window
+# word 3-gram shingles: one vectorized Arrow pass emitting the per-doc
+# DISTINCT shingle set (r7, guide §4.2 — same shape as _span_fps).  The
+# former posexplode + window-lead form shuffled every token on doc_id
+# and its consumers all followed with a dropDuplicates exchange; the
+# python set makes within-doc dedup free and leaves zero exchanges.
+# (The interpreted HOF transform/filter alternative stays off the table:
+# measured ~20x slower than either — CLAUDE.md.)
+def _distinct_shingles(docs):
+    import pyarrow as pa
 
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower("text"), _WS_RE)).alias("pos", "tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("shingle", pa.string()),
+    ])
+
+    def mapper(batches):
+        import re
+
+        ws = re.compile(_WS_RE)
+        for batch in batches:
+            out_ids: list = []
+            out_sh: list = []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                if not text:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                n = len(toks) - 2
+                if n <= 0:
+                    continue
+                sh = {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                      for i in range(n)}
+                out_ids.extend([did] * len(sh))
+                out_sh.extend(sh)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_sh, type=pa.string())],
+                schema=out_schema)
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        toks.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ).alias("shingle"),
-            F.lead("tok", 2).over(w).alias("_l2"),
-        )
-        .filter(F.col("_l2").isNotNull())
-        .select("doc_id", "shingle")
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .mapInArrow(mapper, schema="doc_id long, shingle string")
     )
 
 _SQL_SHINGLES_CTE = r"""
@@ -269,7 +288,7 @@ def q_dedup_lsh_precision(spark, sf_dir):
     integers divided once."""
     docs = _docs(spark, sf_dir)
     cands = q_dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingles_exploded(docs).dropDuplicates(["doc_id", "shingle"])
+    sh = _distinct_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -588,10 +607,11 @@ def propagate_min_labels(docs, pairs, checkpoint_every: int = 8,
         force_truncate = jumped_relaxed is not None
         if force_truncate or (
                 checkpoint_every and (i + 1) % checkpoint_every == 0):
-            # eager localCheckpoint materializes AND truncates lineage —
-            # the next round's join starts from stored blocks, not the
-            # whole join tree built so far
-            new_labels = new_labels.localCheckpoint()
+            # LAZY localCheckpoint (r7): the checksum collect right below
+            # is what materializes the blocks, so the round costs ONE job
+            # instead of two (eager checkpoint job + agg job) — lineage
+            # truncation is identical once materialized
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         cur = new_labels.agg(label_sum).collect()[0]["s"]
@@ -1055,7 +1075,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # its recomputed pipeline carries 128 min-aggs per row; this one is
     # a single md5-min.  At 100 TB revisit: 4 scans of the corpus vs one
     # spill-backed materialization flips with corpus width.
-    exploded = _shingles_exploded(docs).dropDuplicates(["doc_id", "shingle"])
+    exploded = _distinct_shingles(docs)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # candidates: pairs sharing the min-md5 shingle (1-band minhash blocking)
     minsig = exploded.groupBy("doc_id").agg(
