@@ -1003,26 +1003,71 @@ _SIMHASH_BITS = 60
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """r7 (guide §4.2, same template as _minhash_bands): the simhash is a
+    purely per-document reduction, so the explode + 60-vote aggregate
+    (a token-row shuffle feeding a 60-expression HashAggregate pair plus
+    a 60-branch bit-reassembly projection) collapses into one vectorized
+    Arrow pass — popcounts per bit via numpy, exact integer votes,
+    identical simhash values (verified vs the DuckDB oracle at
+    sf0.001/0.01/0.1)."""
+    import pyarrow as pa
+
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower("text"), _WS_RE),
-                           lambda x: x != "")).alias("token"),
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("simhash", pa.int64()),
+    ])
+
+    def mapper(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(_WS_RE)
+        md5 = hashlib.md5
+        shifts = np.arange(_SIMHASH_BITS, dtype=np.int64)[:, None]
+        weights = (np.int64(1) << shifts[:, 0])
+        for batch in batches:
+            doc_ids, h_parts, lens = [], [], []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                if not text:
+                    continue
+                toks = [t for t in ws.split(text.lower()) if t]
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (int(md5(t.encode()).hexdigest()[:15], 16)
+                     for t in toks),
+                    dtype=np.int64, count=len(toks))
+                doc_ids.append(did)
+                h_parts.append(hs)
+                lens.append(len(toks))
+            if not doc_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64())], schema=out_schema)
+                continue
+            hall = np.concatenate(h_parts)
+            bits = (hall[None, :] >> shifts) & 1          # (60, total)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            ones = np.add.reduceat(bits, offsets, axis=1)  # (60, ndocs)
+            n = np.array(lens, dtype=np.int64)[None, :]
+            votes = 2 * ones - n                           # +1/-1 vote sums
+            sim = ((votes > 0).astype(np.int64)
+                   * weights[:, None]).sum(axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, type=pa.int64()),
+                 pa.array(sim, type=pa.int64())], schema=out_schema)
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .mapInArrow(mapper, schema="doc_id long, simhash long")
     )
-    h = F.conv(F.substring(F.md5(F.encode(F.col("token"), "utf-8")), 1, 15), 16, 10).cast("long")
-    hashed = toks.withColumn("h", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    voted = hashed.groupBy("doc_id").agg(*votes)
-    simhash = None
-    for b in range(_SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else (simhash + bit)
-    return voted.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 SQL_DEDUP_SIMHASH = r"""

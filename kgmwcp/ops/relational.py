@@ -231,14 +231,21 @@ GROUP BY r_name
 # --------------------------------------------------------------------------
 
 def q_rule_route(spark, sf_dir):
+    # r7 (guide §2.4): first-match per order is a lexicographic-min
+    # aggregate, not a window — min(struct(linenumber, partkey)) gets
+    # map-side partial aggregation and no per-partition sort, where
+    # row_number() paid exchange + full sort of every lineitem row.
+    # Identical rows: struct min is field-wise lexicographic, the same
+    # total order the window used, and ties project identical values.
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber").asc(), F.col("l_partkey").asc()
-    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_linenumber")
+        li.groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_linenumber", "l_partkey")).alias("_first"))
+        .select(
+            "l_orderkey",
+            F.col("_first.l_partkey").alias("l_partkey"),
+            F.col("_first.l_linenumber").alias("l_linenumber"),
+        )
     )
 
 

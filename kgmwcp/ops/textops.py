@@ -907,13 +907,49 @@ def q_text_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    # explode first, then codegen'd lower on the scalar — an interpreted
-    # transform() lambda over the array is ~20x slower (CLAUDE.md); the
-    # generator can't nest inside lower(), so two selects
-    toks = docs.select(
-        "doc_id", F.explode(_ws_tokens()).alias("raw_tok")
-    ).select("doc_id", F.lower("raw_tok").alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # r7 (guide §4.2): term frequency is a purely per-document reduction,
+    # so the explode + (doc_id, tok) groupBy (a token-row exchange) is one
+    # vectorized Arrow pass emitting (doc_id, tok, tf) directly — a
+    # collections.Counter per doc, exact integers, identical rows.  The
+    # cross-document stages (df, n_docs, scoring, top-k window) are
+    # unchanged.
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()),
+        pa.field("tok", pa.string()),
+        pa.field("tf", pa.int64()),
+    ])
+
+    def mapper(batches):
+        import re
+        from collections import Counter
+
+        ws = re.compile(WS_RE)
+        for batch in batches:
+            ids: list = []
+            toks: list = []
+            tfs: list = []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                if not text:
+                    continue
+                counts = Counter(
+                    t.lower() for t in ws.split(text) if t)
+                ids.extend([did] * len(counts))
+                toks.extend(counts.keys())
+                tfs.extend(counts.values())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(toks, type=pa.string()),
+                 pa.array(tfs, type=pa.int64())], schema=out_schema)
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tf = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .mapInArrow(mapper, schema="doc_id long, tok string, tf long")
+    )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs"))
@@ -1085,19 +1121,54 @@ def q_corpus_ngram_counts(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "lang", "doc_id", F.posexplode(_ws_tokens()).alias("pos", "raw")
-    ).select("lang", "doc_id", "pos", F.lower("raw").alias("tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        toks.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        # concat_ws silently SKIPS nulls (a trailing bigram would sneak
-        # in) — filter the window edge explicitly
-        .filter(F.col("t2").isNotNull())
-        .select("lang", F.concat_ws(" ", "tok", "t1", "t2").alias("ngram"))
+    # r7 (guide §4.2): trigram extraction is per-document, so the
+    # posexplode + double-lead window (a token-row shuffle on doc_id)
+    # becomes one vectorized Arrow pass emitting per-doc pre-counted
+    # (lang, ngram, n) rows; the global count is then a sum aggregate
+    # over strictly fewer rows — identical (lang, ngram, n) totals.
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        pa.field("lang", pa.string()),
+        pa.field("ngram", pa.string()),
+        pa.field("n", pa.int64()),
+    ])
+
+    def mapper(batches):
+        import re
+        from collections import Counter
+
+        ws = re.compile(WS_RE)
+        for batch in batches:
+            langs: list = []
+            ngrams: list = []
+            ns: list = []
+            for lang, text in zip(batch.column("lang").to_pylist(),
+                                  batch.column("text").to_pylist()):
+                if not text:
+                    continue
+                toks = [t.lower() for t in ws.split(text) if t]
+                if len(toks) < 3:
+                    continue
+                counts = Counter(
+                    f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                    for i in range(len(toks) - 2))
+                langs.extend([lang] * len(counts))
+                ngrams.extend(counts.keys())
+                ns.extend(counts.values())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(langs, type=pa.string()),
+                 pa.array(ngrams, type=pa.string()),
+                 pa.array(ns, type=pa.int64())], schema=out_schema)
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    pre = (
+        docs.select("lang", "doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select("lang", "text")
+        .mapInArrow(mapper, schema="lang string, ngram string, n long")
     )
-    counts = tri.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    counts = pre.groupBy("lang", "ngram").agg(F.sum("n").alias("n"))
     w_local = Window.partitionBy(
         "lang", F.substring(F.md5("ngram"), 1, 2)
     ).orderBy(F.col("n").desc(), "ngram")
