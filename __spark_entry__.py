@@ -102,12 +102,14 @@ def _stix_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Suite order is load-bearing: the driver's CORRECTNESS harness samples the
 # FIRST 50 queries() entries in dict order.  Rotate the least-recently
-# driver-verified suites to the front each round (r6: pipeline + graph +
-# multimodal + similarity + dedup = 34 entries never/stale-checked as of
-# VERDICT r5, then textops so the text_entropy fix lands inside the window;
-# relational has four rounds of green driver history and rides the
-# committed self-sweep this round).
-_SUITES = [_graph, _multimodal, _similarity, _dedup, _textops, _relational]
+# driver-verified suites to the front each round.  r7 (VERDICT r6 item 1):
+# relational leads — its dict deliberately opens with the 18 ops that have
+# ZERO driver rows across six rounds (tpch q2/q4/q7-q10/q13-q20/q22,
+# events_asof_join/path_trigrams/rfm), so the window (4 pipeline entries
+# + 46 relational = 50) finally driver-verifies all of them; every other
+# suite was driver-sampled in r5/r6 and rides the committed 110/110
+# self-sweep this round.
+_SUITES = [_relational, _textops, _dedup, _similarity, _multimodal, _graph]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
