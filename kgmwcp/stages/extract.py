@@ -54,9 +54,25 @@ _N_COLS = len(_ARROW_SCHEMA)
 _COL_INDEX = {f.name: i for i, f in enumerate(_ARROW_SCHEMA)}
 
 
+# Within-task extraction dedupe (r7, guide §4.5 heavyweight-state-per-task
+# applied to results): the samples stage repartitions by content sha256,
+# so byte-identical files (re-uploads, corpus replicas, same sample in
+# many repos) land in the SAME task — parsing each copy again would
+# recompute the identical ExtractionResult (engine.run is deterministic
+# given (data, name, route) and the task-constant kb/config; name rides
+# the key because filename-predicate rules read it, so the reference's
+# coarser (rule, md5) identify-cache semantics are untouched).  Results
+# are treated strictly read-only by the row emitter.  Task-scoped only:
+# the dict lives inside one mapper call, so no state ever crosses jobs
+# or queries.  Cleared when full — a content-addressed production corpus
+# rarely exceeds this many DISTINCT payloads per task.
+_RESULT_CACHE_CAP = 4096
+
+
 def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
                          route_scope: str = "all",
-                         emit_file_data: bool = False) -> pa.RecordBatch:
+                         emit_file_data: bool = False,
+                         result_cache: dict | None = None) -> pa.RecordBatch:
     repos = batch.column("repo").to_pylist()
     paths = batch.column("path").to_pylist()
     commits = batch.column("commit").to_pylist()
@@ -77,13 +93,25 @@ def _process_arrow_batch(batch: pa.RecordBatch, engine, knowledge_base: dict,
         c_commit.extend([commit] * n)
         c_bucket.extend([bucket] * n)
 
+    import hashlib
+
     for repo, path, commit, route, content, bucket in zip(
             repos, paths, commits, routes, contents, buckets):
         data = bytes(content) if content is not None else b""
         name = path.rsplit("/", 1)[-1] if path else None
-        result = engine.run(data, name=name, route=route or None,
-                            knowledge_base=knowledge_base,
-                            route_scope=route_scope)
+        cache_key = None
+        result = None
+        if result_cache is not None:
+            cache_key = (hashlib.md5(data).digest(), name, route)
+            result = result_cache.get(cache_key)
+        if result is None:
+            result = engine.run(data, name=name, route=route or None,
+                                knowledge_base=knowledge_base,
+                                route_scope=route_scope)
+            if cache_key is not None:
+                if len(result_cache) >= _RESULT_CACHE_CAP:
+                    result_cache.clear()
+                result_cache[cache_key] = result
         root_sha = result.root.sha256
 
         n_m = len(result.triples)
@@ -197,9 +225,10 @@ def extract_records(samples: DataFrame, group_order: Optional[List[str]] = None,
 
             ensure_registered(dirs, pkgs)
         engine = ExtractionEngine(group_order=group_order, greedy=greedy)
+        result_cache: dict = {}  # task-scoped content-addressed dedupe
         for batch in batches:
             yield _process_arrow_batch(batch, engine, kb, route_scope,
-                                       emit_file_data)
+                                       emit_file_data, result_cache)
 
     # Column-prune before the Python stage so Arrow only ships what the
     # engine reads (content + provenance), never derived identity columns.
