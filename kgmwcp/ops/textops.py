@@ -717,9 +717,44 @@ def q_sketch_distinct_kmv(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    # r7 (guide §4.2/§2.3): per-doc distinct token hashes emitted from one
+    # vectorized Arrow pass (python set + hashlib.md5) instead of explode +
+    # md5 Column — the cross-doc dropDuplicates exchange below is
+    # unchanged but receives only per-doc-distinct rows.
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        pa.field("lang", pa.string()),
+        pa.field("h", pa.string()),
+    ])
+
+    def mapper(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(WS_RE)
+        md5 = hashlib.md5
+        for batch in batches:
+            langs: list = []
+            hs: list = []
+            for lang, text in zip(batch.column("lang").to_pylist(),
+                                  batch.column("text").to_pylist()):
+                if not text:
+                    continue
+                dh = {md5(t.lower().encode()).hexdigest()
+                      for t in ws.split(text) if t}
+                langs.extend([lang] * len(dh))
+                hs.extend(dh)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(langs, type=pa.string()),
+                 pa.array(hs, type=pa.string())], schema=out_schema)
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
-        docs.select("lang", F.explode(_ws_tokens()).alias("tok"))
-        .select("lang", F.md5(F.encode(F.lower("tok"), "utf-8")).alias("h"))
+        docs.select("lang", "doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select("lang", "text")
+        .mapInArrow(mapper, schema="lang string, h string")
         .dropDuplicates(["lang", "h"])
     )
     # two-level top-K: a single window per lang would funnel the whole
