@@ -150,17 +150,12 @@ _SQL_MENTIONS_CTE = r"""mentions AS (
 
 
 def _mentions(docs):
-    """Distinct (doc_id, token) keyword mentions (T1-shape extract)."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
-            ).alias("token"),
-        )
-        .filter(F.col("token") != "scan")
-        .dropDuplicates(["doc_id", "token"])
-    )
+    """Distinct (doc_id, token) keyword mentions (T1-shape extract) —
+    r7: one vectorized Arrow pass (ops/textops.keyword_mentions) instead
+    of regexp_extract_all + explode + a dropDuplicates exchange."""
+    from kgmwcp.ops.textops import keyword_mentions
+
+    return keyword_mentions(docs)
 
 
 def q_kg_pagerank(spark, sf_dir):
@@ -313,17 +308,11 @@ def q_kg_pagerank_triples(spark, sf_dir):
 
 def q_kg_pagerank_weighted(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    mentions_w = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
-            ).alias("token"),
-        )
-        .filter(F.col("token") != "scan")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    # r7: per-doc occurrence Counter in one Arrow pass replaces
+    # regexp + explode + the (doc_id, token) groupBy exchange
+    from kgmwcp.ops.textops import keyword_mentions
+
+    mentions_w = keyword_mentions(docs, counts=True)
     fwd = mentions_w.select(
         F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
         F.concat(F.lit("t:"), "token").alias("dst"),
