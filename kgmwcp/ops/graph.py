@@ -150,12 +150,23 @@ _SQL_MENTIONS_CTE = r"""mentions AS (
 
 
 def _mentions(docs):
-    """Distinct (doc_id, token) keyword mentions (T1-shape extract) —
-    r7: one vectorized Arrow pass (ops/textops.keyword_mentions) instead
-    of regexp_extract_all + explode + a dropDuplicates exchange."""
-    from kgmwcp.ops.textops import keyword_mentions
+    """Distinct (doc_id, token) keyword mentions (T1-shape extract).
 
-    return keyword_mentions(docs)
+    Deliberately the JVM Column form (r7 measured decision): the cheap
+    codegen'd regexp + the dropDuplicates exchange is a ReusedExchange
+    boundary that the pagerank/khop DAGs reference from several subtrees;
+    an Arrow-pass rewrite measured 2-3x MORE CPU (python round trips per
+    subtree, no heavy work to amortize) and was reverted."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "scan")
+        .dropDuplicates(["doc_id", "token"])
+    )
 
 
 def q_kg_pagerank(spark, sf_dir):
@@ -308,11 +319,17 @@ def q_kg_pagerank_triples(spark, sf_dir):
 
 def q_kg_pagerank_weighted(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    # r7: per-doc occurrence Counter in one Arrow pass replaces
-    # regexp + explode + the (doc_id, token) groupBy exchange
-    from kgmwcp.ops.textops import keyword_mentions
-
-    mentions_w = keyword_mentions(docs, counts=True)
+    mentions_w = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "scan")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
     fwd = mentions_w.select(
         F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("src"),
         F.concat(F.lit("t:"), "token").alias("dst"),

@@ -206,63 +206,26 @@ FROM documents
 _KEYWORDS_RX = r"\b(spark|join|merge|hash|scan|window|stream)\b"
 
 
-def keyword_mentions(docs, counts=False):
-    """Keyword mentions in one vectorized Arrow pass (r7, guide §4.2) —
-    distinct ``(doc_id, token)`` rows, or ``(doc_id, token, w)``
-    occurrence counts with ``counts=True``.  Replaces regexp_extract_all
-    + explode + a dropDuplicates/groupBy exchange in every consumer
-    (this module's mention ops and ops/graph.py's edge builders): the
-    per-doc set/Counter needs no exchange at all.  Python ``re`` and
-    Java regex agree exactly on this ASCII \\b alternation over lowered
-    ASCII text; the 'scan' denylist filter is applied in the mapper."""
-    import pyarrow as pa
-
-    fields = [pa.field("doc_id", pa.int64()), pa.field("token", pa.string())]
-    schema_str = "doc_id long, token string"
-    if counts:
-        fields.append(pa.field("w", pa.int64()))
-        schema_str += ", w long"
-    out_schema = pa.schema(fields)
-
-    def mapper(batches):
-        import re
-        from collections import Counter
-
-        rx = re.compile(_KEYWORDS_RX)
-        for batch in batches:
-            ids: list = []
-            toks: list = []
-            ws: list = []
-            for did, text in zip(batch.column("doc_id").to_pylist(),
-                                 batch.column("text").to_pylist()):
-                if not text:
-                    continue
-                found = rx.findall(text.lower())
-                if counts:
-                    c = Counter(t for t in found if t != "scan")
-                    ids.extend([did] * len(c))
-                    toks.extend(c.keys())
-                    ws.extend(c.values())
-                else:
-                    s = {t for t in found if t != "scan"}
-                    ids.extend([did] * len(s))
-                    toks.extend(s)
-            arrays = [pa.array(ids, type=pa.int64()),
-                      pa.array(toks, type=pa.string())]
-            if counts:
-                arrays.append(pa.array(ws, type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
-
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.select("doc_id", "text")
-        .repartition(n_parts, "doc_id")
-        .mapInArrow(mapper, schema=schema_str)
-    )
-
-
 def q_kg_token_mentions(spark, sf_dir):
-    return keyword_mentions(_docs(spark, sf_dir))
+    # NOTE (r7): an Arrow-pass rewrite of this helper was built, measured
+    # and REVERTED — regexp_extract_all over short ASCII docs is cheap
+    # codegen'd JVM work, and the python round trip plus repartition
+    # exchange measured 2-8x MORE CPU for every consumer (worst for the
+    # multi-subtree graph DAGs, where the old dropDuplicates exchange is
+    # a ReusedExchange boundary).  Per-doc Arrow passes pay off only when
+    # they delete heavy work (wide aggregates, window shuffles) — guide
+    # §4.1: prefer built-ins when they are already cheap.
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_KEYWORDS_RX), 1)
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "scan")  # denylist analogue
+        .dropDuplicates(["doc_id", "token"])
+    )
 
 
 SQL_KG_TOKEN_MENTIONS = r"""
