@@ -207,14 +207,14 @@ _KEYWORDS_RX = r"\b(spark|join|merge|hash|scan|window|stream)\b"
 
 
 def q_kg_token_mentions(spark, sf_dir):
-    # NOTE (r7): an Arrow-pass rewrite of this helper was built, measured
-    # and REVERTED — regexp_extract_all over short ASCII docs is cheap
-    # codegen'd JVM work, and the python round trip plus repartition
-    # exchange measured 2-8x MORE CPU for every consumer (worst for the
-    # multi-subtree graph DAGs, where the old dropDuplicates exchange is
-    # a ReusedExchange boundary).  Per-doc Arrow passes pay off only when
-    # they delete heavy work (wide aggregates, window shuffles) — guide
-    # §4.1: prefer built-ins when they are already cheap.
+    # r7 measured decision: an Arrow-pass rewrite of this op (and of the
+    # tfidf tf stage, trigram counts and the kmv token source) verified
+    # hash-identical and then measured MORE JVM CPU than the codegen'd
+    # explode/groupBy chains it replaced (interleaved old/new-tree A/B;
+    # e.g. ngram_counts 3.7->12.3 CPU-s, kmv 2.2->8.5) — the python round
+    # trip only pays when it deletes heavy work (window shuffles, 50x
+    # explodes, >codegen-maxFields aggregates; see ops/dedup.py).  All
+    # four were reverted to the original JVM forms.
     docs = _docs(spark, sf_dir)
     return (
         docs.select(
@@ -725,44 +725,9 @@ def q_sketch_distinct_kmv(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    # r7 (guide §4.2/§2.3): per-doc distinct token hashes emitted from one
-    # vectorized Arrow pass (python set + hashlib.md5) instead of explode +
-    # md5 Column — the cross-doc dropDuplicates exchange below is
-    # unchanged but receives only per-doc-distinct rows.
-    import pyarrow as pa
-
-    out_schema = pa.schema([
-        pa.field("lang", pa.string()),
-        pa.field("h", pa.string()),
-    ])
-
-    def mapper(batches):
-        import hashlib
-        import re
-
-        ws = re.compile(WS_RE)
-        md5 = hashlib.md5
-        for batch in batches:
-            langs: list = []
-            hs: list = []
-            for lang, text in zip(batch.column("lang").to_pylist(),
-                                  batch.column("text").to_pylist()):
-                if not text:
-                    continue
-                dh = {md5(t.lower().encode()).hexdigest()
-                      for t in ws.split(text) if t}
-                langs.extend([lang] * len(dh))
-                hs.extend(dh)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(langs, type=pa.string()),
-                 pa.array(hs, type=pa.string())], schema=out_schema)
-
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
-        docs.select("lang", "doc_id", "text")
-        .repartition(n_parts, "doc_id")
-        .select("lang", "text")
-        .mapInArrow(mapper, schema="lang string, h string")
+        docs.select("lang", F.explode(_ws_tokens()).alias("tok"))
+        .select("lang", F.md5(F.encode(F.lower("tok"), "utf-8")).alias("h"))
         .dropDuplicates(["lang", "h"])
     )
     # two-level top-K: a single window per lang would funnel the whole
@@ -950,49 +915,13 @@ def q_text_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    # r7 (guide §4.2): term frequency is a purely per-document reduction,
-    # so the explode + (doc_id, tok) groupBy (a token-row exchange) is one
-    # vectorized Arrow pass emitting (doc_id, tok, tf) directly — a
-    # collections.Counter per doc, exact integers, identical rows.  The
-    # cross-document stages (df, n_docs, scoring, top-k window) are
-    # unchanged.
-    import pyarrow as pa
-
-    out_schema = pa.schema([
-        pa.field("doc_id", pa.int64()),
-        pa.field("tok", pa.string()),
-        pa.field("tf", pa.int64()),
-    ])
-
-    def mapper(batches):
-        import re
-        from collections import Counter
-
-        ws = re.compile(WS_RE)
-        for batch in batches:
-            ids: list = []
-            toks: list = []
-            tfs: list = []
-            for did, text in zip(batch.column("doc_id").to_pylist(),
-                                 batch.column("text").to_pylist()):
-                if not text:
-                    continue
-                counts = Counter(
-                    t.lower() for t in ws.split(text) if t)
-                ids.extend([did] * len(counts))
-                toks.extend(counts.keys())
-                tfs.extend(counts.values())
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()),
-                 pa.array(toks, type=pa.string()),
-                 pa.array(tfs, type=pa.int64())], schema=out_schema)
-
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    tf = (
-        docs.select("doc_id", "text")
-        .repartition(n_parts, "doc_id")
-        .mapInArrow(mapper, schema="doc_id long, tok string, tf long")
-    )
+    # explode first, then codegen'd lower on the scalar — an interpreted
+    # transform() lambda over the array is ~20x slower (CLAUDE.md); the
+    # generator can't nest inside lower(), so two selects
+    toks = docs.select(
+        "doc_id", F.explode(_ws_tokens()).alias("raw_tok")
+    ).select("doc_id", F.lower("raw_tok").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs"))
@@ -1164,54 +1093,19 @@ def q_corpus_ngram_counts(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    # r7 (guide §4.2): trigram extraction is per-document, so the
-    # posexplode + double-lead window (a token-row shuffle on doc_id)
-    # becomes one vectorized Arrow pass emitting per-doc pre-counted
-    # (lang, ngram, n) rows; the global count is then a sum aggregate
-    # over strictly fewer rows — identical (lang, ngram, n) totals.
-    import pyarrow as pa
-
-    out_schema = pa.schema([
-        pa.field("lang", pa.string()),
-        pa.field("ngram", pa.string()),
-        pa.field("n", pa.int64()),
-    ])
-
-    def mapper(batches):
-        import re
-        from collections import Counter
-
-        ws = re.compile(WS_RE)
-        for batch in batches:
-            langs: list = []
-            ngrams: list = []
-            ns: list = []
-            for lang, text in zip(batch.column("lang").to_pylist(),
-                                  batch.column("text").to_pylist()):
-                if not text:
-                    continue
-                toks = [t.lower() for t in ws.split(text) if t]
-                if len(toks) < 3:
-                    continue
-                counts = Counter(
-                    f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
-                    for i in range(len(toks) - 2))
-                langs.extend([lang] * len(counts))
-                ngrams.extend(counts.keys())
-                ns.extend(counts.values())
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(langs, type=pa.string()),
-                 pa.array(ngrams, type=pa.string()),
-                 pa.array(ns, type=pa.int64())], schema=out_schema)
-
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    pre = (
-        docs.select("lang", "doc_id", "text")
-        .repartition(n_parts, "doc_id")
-        .select("lang", "text")
-        .mapInArrow(mapper, schema="lang string, ngram string, n long")
+    toks = docs.select(
+        "lang", "doc_id", F.posexplode(_ws_tokens()).alias("pos", "raw")
+    ).select("lang", "doc_id", "pos", F.lower("raw").alias("tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        # concat_ws silently SKIPS nulls (a trailing bigram would sneak
+        # in) — filter the window edge explicitly
+        .filter(F.col("t2").isNotNull())
+        .select("lang", F.concat_ws(" ", "tok", "t1", "t2").alias("ngram"))
     )
-    counts = pre.groupBy("lang", "ngram").agg(F.sum("n").alias("n"))
+    counts = tri.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
     w_local = Window.partitionBy(
         "lang", F.substring(F.md5("ngram"), 1, 2)
     ).orderBy(F.col("n").desc(), "ngram")
